@@ -9,8 +9,30 @@ skewed shuffles re-plan at runtime; Arrow is on because every geometry
 from __future__ import annotations
 
 import os
+import zipfile
 
 from pyspark.sql import SparkSession
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to executors (the --py-files mechanism).
+
+    ``sc.addPyFile`` of a zip is exactly what ``spark-submit
+    --py-files pkg.zip`` does; doing it here makes the engine work
+    identically under local[
+    N], a fresh driver process with any cwd, and a real cluster.
+    """
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    zpath = os.path.join(spark.sparkContext._temp_dir, "osmnightwatch_spark.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for dirpath, _dirnames, filenames in os.walk(pkg_dir):
+                for fn in filenames:
+                    if fn.endswith(".py"):
+                        full = os.path.join(dirpath, fn)
+                        z.write(full, os.path.relpath(full, root))
+        spark.sparkContext.addPyFile(zpath)
 
 
 def get_spark(app: str = "osmnightwatch_spark", cores: int | None = None,
@@ -40,4 +62,5 @@ def get_spark(app: str = "osmnightwatch_spark", cores: int | None = None,
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
     return spark
