@@ -1,0 +1,172 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline metric (BASELINE.json): images/sec through the H3-encode +
+PIP-join + tile-assign pipeline over the input_hint-shaped images
+table (generated deterministically, cached as parquet under data/).
+Also reports the north_rule scaling evidence: the same flagship job at
+local[8] vs local[32] (N vs 4N cores in-sandbox) with throughput
+scaling efficiency = thr(4N) / (4 × thr(N)).
+
+Usage:
+    python bench.py                     # full bench, one JSON line
+    python bench.py --flagship 8       # scaling subprocess (internal)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+IMAGES_PER_SF = 2_000_000  # sf0.1 → 200k images
+
+
+def sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def images_path(sf: float) -> str:
+    return os.path.join(REPO, "data", f"images_sf{sf}")
+
+
+def ensure_images(spark, sf: float) -> tuple[str, int]:
+    from osmnightwatch_spark.sources.images import write_images
+
+    n = max(2000, int(IMAGES_PER_SF * sf))
+    return write_images(spark, images_path(sf), n), n
+
+
+def run_flagship(spark, path: str) -> tuple[float, int]:
+    """Timed flagship over the cached parquet; returns (sec, n_rows)."""
+    from osmnightwatch_spark.plans.pipeline import flagship
+
+    imgs = spark.read.parquet(path)
+    t0 = time.time()
+    out = flagship(imgs)
+    n_out = out.count()
+    return time.time() - t0, n_out
+
+
+def flagship_subprocess(cores: int, path: str) -> float:
+    """Fresh-JVM flagship timing at a given core count (scaling runs)."""
+    code = (
+        "import sys, time, json; sys.path.insert(0, %r)\n"
+        "from osmnightwatch_spark.session import get_spark\n"
+        "import bench\n"
+        "spark = get_spark('bench-scale', cores=%d)\n"
+        "bench.run_flagship(spark, %r)  # warmup\n"
+        "sec, _ = bench.run_flagship(spark, %r)\n"
+        "print('SCALE_SEC', sec)\n"
+        "spark.stop()\n" % (REPO, cores, path, path)
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=900, cwd=REPO,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("SCALE_SEC"):
+            return float(line.split()[1])
+    raise RuntimeError(f"scaling run failed (cores={cores}): {out.stderr[-2000:]}")
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_of(sf_dir)
+    do_scaling = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
+
+    from pyspark.sql import functions as F
+
+    from osmnightwatch_spark.operators.coverage import observed_coverage
+    from osmnightwatch_spark.operators.dedup import minhash_lsh_pairs
+    from osmnightwatch_spark.operators.knn import knn_join
+    from osmnightwatch_spark.operators.pip_join import PreparedPolygons, pip_join
+    from osmnightwatch_spark.operators.similarity import cosine_topk_brute
+    from osmnightwatch_spark.operators.tiling import tile_counts
+    from osmnightwatch_spark.session import get_spark
+    from osmnightwatch_spark.sources.images import with_geo
+    from osmnightwatch_spark.sources.polygons import valid_polygon_list
+
+    spark = get_spark("bench", cores=cores)
+    path, n_images = ensure_images(spark, sf)
+    prep = PreparedPolygons.build(valid_polygon_list(), res=7)
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        # warm run (plan compile + JIT + python-worker spinup), then the
+        # timed steady-state run — local-mode first-run overhead is
+        # compilation, not data processing, and would swamp sf0.1 numbers
+        fn()
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    geo = lambda: with_geo(spark.read.parquet(path).select("image_id", "phash"))  # noqa: E731
+
+    # warmup (JVM/codegen)
+    run_flagship(spark, path)
+    flagship_sec, _ = run_flagship(spark, path)
+    timings["flagship_pipeline"] = round(flagship_sec, 3)
+
+    timed("tile_counts_r8", lambda: tile_counts(geo(), 8).count())
+    timed("pip_join", lambda: pip_join(geo(), prep).count())
+    timed(
+        "knn_join_k5",
+        lambda: knn_join(
+            geo().where(F.crc32(F.col("image_id")) % 1000 == 0)
+            .withColumnRenamed("image_id", "probe_id"),
+            geo().withColumnRenamed("image_id", "cand_id"),
+            k=5, res=4,  # occupancy ≈ a few × k per ring at sf0.1 density
+        ).count(),
+    )
+    timed(
+        "coverage_observed",
+        lambda: observed_coverage(geo(), prep, tile_res=4, fine_res=9).count(),
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    timed("dedup_minhash", lambda: minhash_lsh_pairs(docs, "doc_id").count())
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    timed(
+        "cosine_topk",
+        lambda: cosine_topk_brute(emb, F.col("vec_id") % 50 == 0, k=5).count(),
+    )
+    spark.stop()
+
+    result = {
+        "metric": "flagship H3-encode + PIP-join + tile-assign pipeline wall time",
+        "value": timings["flagship_pipeline"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_images": n_images,
+        "images_per_sec": round(n_images / flagship_sec, 1),
+    }
+
+    if do_scaling:
+        sec8 = flagship_subprocess(8, path)
+        sec32 = flagship_subprocess(32, path)
+        thr8, thr32 = n_images / sec8, n_images / sec32
+        result["scaling"] = {
+            "cores_n": 8,
+            "cores_4n": 32,
+            "sec_n": round(sec8, 3),
+            "sec_4n": round(sec32, 3),
+            "images_per_sec_n": round(thr8, 1),
+            "images_per_sec_4n": round(thr32, 1),
+            "efficiency": round(thr32 / (4 * thr8), 3),
+        }
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

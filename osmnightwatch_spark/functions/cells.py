@@ -237,6 +237,8 @@ def _part1by1_sql(e: str) -> str:
 
 def cell_sql(lon_expr: str, lat_expr: str, res: int) -> str:
     """Render lon/lat → cell id as ANSI SQL (DuckDB-runnable)."""
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in 0..{MAX_RES}, got {res}")
     n = 1 << res
     x = f"GREATEST(0, LEAST({n - 1}, CAST(FLOOR((({lon_expr}) + 180.0) / 360.0 * {n}) AS BIGINT)))"
     y = f"GREATEST(0, LEAST({n - 1}, CAST(FLOOR((({lat_expr}) + 90.0) / 180.0 * {n}) AS BIGINT)))"

@@ -1,0 +1,179 @@
+"""Deduplication operators — exact, MinHash-LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+First-class training-data-pipeline operators over the ``documents``
+(and ``images``) tables. Design constraints:
+
+* everything is a composition of native DataFrame ops (explode /
+  groupBy / join) — the only hashes used are ``md5`` and arithmetic,
+  which are bit-identical across Spark and DuckDB so every operator
+  has an exact SQL oracle;
+* shingles are sampled on a fixed stride (position 1, 1+stride, …) so
+  the shingle set of a document is small and deterministic — at
+  10^12-document scale the shingle explode is the dominant shuffle and
+  stride is the knob that bounds it;
+* all pair outputs are canonicalized ``id_a < id_b`` and deduplicated.
+
+Scale notes: MinHash-LSH is the standard near-dup pipeline shape
+(shingle → per-band min → band-bucket join). The band-bucket join's
+fan-out is bounded by bucket size; a hot bucket (boilerplate text) is
+the skew case — mitigated by capping bucket size (``max_bucket``)
+exactly like salting caps hot cells in the spatial joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_SHINGLE = 8
+DEFAULT_STRIDE = 16
+
+
+def exact_dedup(df: DataFrame, key: str, id_col: str) -> DataFrame:
+    """Exact duplicate groups by ``key``: (keeper_id, n_copies).
+
+    Hash-groupBy; partial aggregation absorbs skew from hot values.
+    """
+    return (
+        df.groupBy(key)
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keeper_id", "n_copies")
+    )
+
+
+def shingles(df: DataFrame, id_col: str, text: str = "text",
+             size: int = DEFAULT_SHINGLE, stride: int = DEFAULT_STRIDE) -> DataFrame:
+    """Distinct (id, shingle) pairs: ``size``-char substrings at
+    1-based positions 1, 1+stride, … (native sequence+transform)."""
+    arr = F.expr(
+        f"transform(sequence(1, greatest(length({text}) - {size - 1}, 1), {stride}),"
+        f" p -> substring({text}, p, {size}))"
+    )
+    return (
+        df.select(F.col(id_col), F.explode(arr).alias("shingle"))
+        .distinct()
+    )
+
+
+def shingles_sql(table: str, id_col: str, text: str = "text",
+                 size: int = DEFAULT_SHINGLE, stride: int = DEFAULT_STRIDE) -> str:
+    """DuckDB twin of :func:`shingles` (unnest + generate_series)."""
+    return (
+        f"SELECT DISTINCT {id_col}, substr({text}, CAST(p AS INT), {size}) AS shingle "
+        f"FROM {table}, UNNEST(generate_series(1, greatest(length({text}) - {size - 1}, 1),"
+        f" {stride})) AS t(p)"
+    )
+
+
+def minhash_bands(sh: DataFrame, id_col: str, bands: int = 8) -> DataFrame:
+    """Per-document MinHash signature: for band b the minimum of
+    ``md5(b || ':' || shingle)`` over the document's shingles.
+
+    md5 as the hash family: lexicographic min over uniformly-random
+    hex strings ≡ numeric min over a random permutation — the standard
+    MinHash estimator, and exactly reproducible in SQL."""
+    banded = sh.select(
+        F.col(id_col),
+        F.explode(F.array(*[F.lit(b) for b in range(bands)])).alias("band"),
+        "shingle",
+    ).withColumn(
+        "h", F.md5(F.concat(F.col("band").cast("string"), F.lit(":"), F.col("shingle")))
+    )
+    return banded.groupBy(id_col, "band").agg(F.min("h").alias("min_h"))
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text: str = "text",
+                      bands: int = 8, size: int = DEFAULT_SHINGLE,
+                      stride: int = DEFAULT_STRIDE,
+                      max_bucket: int = 1000) -> DataFrame:
+    """Candidate near-dup pairs: documents sharing ≥1 (band, min-hash)
+    bucket. Returns (id_a, id_b, n_shared_bands), id_a < id_b.
+
+    ``max_bucket`` drops degenerate buckets (boilerplate shingles
+    shared by everything) — the skew guard."""
+    sig = minhash_bands(shingles(df, id_col, text, size, stride), id_col, bands)
+    sized = sig.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "min_h"))
+    ).where(F.col("bucket_n") <= max_bucket)
+    a = sized.select(F.col(id_col).alias("id_a"), "band", "min_h")
+    b = sized.select(F.col(id_col).alias("id_b"), "band", "min_h")
+    return (
+        a.join(b, ["band", "min_h"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def jaccard_topk(df: DataFrame, id_col: str, text: str = "text", k: int = 20,
+                 size: int = DEFAULT_SHINGLE, stride: int = DEFAULT_STRIDE) -> DataFrame:
+    """Top-k most-similar pairs by sampled-shingle Jaccard:
+    (id_a, id_b, shared, jaccard_pct) — jaccard as integer percent so
+    the oracle compare never touches float formatting."""
+    sh = shingles(df, id_col, text, size, stride)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    scored = (
+        shared.join(na, "id_a").join(nb, "id_b")
+        .withColumn(
+            "jaccard_pct",
+            # FLOOR (not cast) so truncation semantics match the SQL
+            # oracle exactly (DuckDB CAST rounds, FLOOR doesn't)
+            F.floor(
+                F.lit(100) * F.col("shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+            ).cast("long"),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.col("jaccard_pct").desc(), F.col("shared").desc(),
+            F.col("id_a").asc(), F.col("id_b").asc(),
+        )
+        .limit(k)
+        .select("id_a", "id_b", "shared", "jaccard_pct")
+    )
+
+
+def simhash16(df: DataFrame, id_col: str, text: str = "text",
+              stride: int = 8) -> DataFrame:
+    """16-bit SimHash per document: tokens sampled by shingling at
+    ``stride``; bit j of a feature = parity of hex digit j of
+    ``md5(feature)`` (odd hex digit → 1). The document bit j is the
+    sign of Σ(±1). Returns (id, simhash16 int)."""
+    feats = shingles(df, id_col, text, size=6, stride=stride)
+    h = F.md5(F.col("shingle"))
+    sums = [
+        F.sum(
+            F.when(F.substring(h, j + 1, 1).isin("1", "3", "5", "7", "9", "b", "d", "f"),
+                   F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"s{j}")
+        for j in range(16)
+    ]
+    agg = feats.groupBy(id_col).agg(*sums)
+    sim = None
+    for j in range(16):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return agg.select(F.col(id_col), sim.cast("long").alias("simhash16"))
+
+
+def simhash_dup_groups(df: DataFrame, id_col: str, text: str = "text") -> DataFrame:
+    """SimHash collision groups (candidate near-dups): simhash16 values
+    held by >1 document → (simhash16, n_docs, min_id)."""
+    s = simhash16(df, id_col, text)
+    return (
+        s.groupBy("simhash16")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("min_id"))
+        .where(F.col("n_docs") > 1)
+    )

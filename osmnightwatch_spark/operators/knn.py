@@ -94,6 +94,11 @@ def knn_join(probes: DataFrame, candidates: DataFrame, k: int, res: int = 6,
             "dist2", "rank",
         )
 
+    # the exact path reuses `ranked` three times (stats, good, residue
+    # anti-join); persist the small top-k result instead of recomputing
+    # the candidate join per consumer
+    ranked = ranked.persist()
+
     # guaranteed radius: distance from probe to the edge of its 3x3 block
     n = float(1 << res)
     cw, ch = 360.0 / n, 180.0 / n

@@ -156,12 +156,15 @@ def pip_join(points: DataFrame, prepared: PreparedPolygons,
         # co-partition both sides on the cell key; AQE splits skewed cells
         joined = pts.repartition("_cell").join(cov, "_cell")
 
+    # Split FULL hits (inside by construction — never touch Python)
+    # from BOUNDARY hits (exact ray-cast refine). An OR-filter would
+    # run the UDF over every joined row; at scale FULL rows dominate.
     inside = _refine_udf(spark, prepared.edges)
-    refined = joined.where(
-        (F.col("kind") == F.lit(FULL))
-        | inside(F.col(lon), F.col(lat), F.col("polygon_id"))
+    full_hits = joined.where(F.col("kind") == F.lit(FULL))
+    boundary_hits = joined.where(F.col("kind") == F.lit(BOUNDARY)).where(
+        inside(F.col(lon), F.col(lat), F.col("polygon_id"))
     )
-    return refined.drop("_cell", "kind")
+    return full_hits.unionByName(boundary_hits).drop("_cell", "kind")
 
 
 def pip_join_brute(points: DataFrame, polygons: list[tuple[int, bytes]],

@@ -1,0 +1,718 @@
+"""The engine's query surface + DuckDB oracle twins.
+
+Every SURVEY.md §2 operator family is represented by at least one
+entry here. Each entry is ``(spark_fn, oracle_sql_or_None)`` where the
+Spark side exercises the real engine operator and the SQL side is an
+independent ANSI formulation DuckDB runs on the same parquet tables
+(views: region nation customer supplier part orders lineitem events
+documents embeddings). The driver compares row counts + schema +
+order-insensitive value hashes, so:
+
+* every computed column is aliased identically on both sides;
+* float aggregates are ROUND()ed (accumulation order differs between
+  engines; rounding grain ≫ float error);
+* divisions that truncate use explicit FLOOR (DuckDB CAST rounds);
+* timestamps are compared as epoch seconds (bigint).
+
+Spatial queries run over points *derived* from ``events`` by a
+documented integer-arithmetic geotag (below) — exactly reproducible
+in SQL — because the driver's DuckDB session only registers the
+TPC-H-ish tables. The image-table pipeline itself is correctness-
+checked in pytest (vs pure-python oracles) and registered here as a
+rows-only entry (no SQL twin).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import cells as C
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators import text as TX
+from ..operators.coverage import observed_coverage
+from ..operators.knn import knn_join
+from ..operators.pip_join import PreparedPolygons, pip_join
+from ..operators.tiling import tile_counts, tile_rollup
+from ..sources import images as I
+from ..sources import polygons as P
+
+# ---------------------------------------------------------------------------
+# derived geotag for events (documented; integer arithmetic → exact in SQL)
+# ---------------------------------------------------------------------------
+
+_LON_MULT = 2654435761          # Knuth multiplicative constants (odd → full wrap)
+_LAT_MULT = 2246822519
+_LAT_OFF = 1234567
+_M32 = 4294967296
+
+
+def _events_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    mlon = (F.col("event_id") * F.lit(_LON_MULT)) % F.lit(_M32)
+    mlat = (F.col("event_id") * F.lit(_LAT_MULT) + F.lit(_LAT_OFF)) % F.lit(_M32)
+    return ev.select(
+        "event_id",
+        (F.lit(-180.0) + mlon.cast("double") / F.lit(float(_M32)) * F.lit(360.0)).alias("lon"),
+        (F.lit(-85.0) + mlat.cast("double") / F.lit(float(_M32)) * F.lit(170.0)).alias("lat"),
+    )
+
+
+_GEO_SQL = (
+    "SELECT event_id, "
+    f"(-180.0 + CAST((event_id * {_LON_MULT}) % {_M32} AS DOUBLE) / {_M32}.0 * 360.0) AS lon, "
+    f"(-85.0 + CAST((event_id * {_LAT_MULT} + {_LAT_OFF}) % {_M32} AS DOUBLE) / {_M32}.0 * 170.0) AS lat "
+    "FROM events"
+)
+
+
+def _prep_rect(res: int = 7) -> PreparedPolygons:
+    return PreparedPolygons.build(P.valid_polygon_list(rect_only=True), res=res)
+
+
+def _rect_join_sql(inner: str, pred_lon: str = "g.lon", pred_lat: str = "g.lat") -> str:
+    parts = []
+    for rid, _n, _l, (lon0, lat0, lon1, lat1) in P.rect_bounds():
+        parts.append(
+            f"SELECT CAST({rid} AS BIGINT) AS polygon_id, {lon0!r} AS x0,"
+            f" {lat0!r} AS y0, {lon1!r} AS x1, {lat1!r} AS y1"
+        )
+    rects = " UNION ALL ".join(parts)
+    return (
+        f"SELECT g.*, r.polygon_id FROM ({inner}) g JOIN ({rects}) r "
+        f"ON {pred_lon} >= r.x0 AND {pred_lon} <= r.x1 "
+        f"AND {pred_lat} >= r.y0 AND {pred_lat} <= r.y1"
+    )
+
+
+# ---------------------------------------------------------------------------
+# query definitions
+# ---------------------------------------------------------------------------
+
+def q_tag_filter_project(spark, sf_dir):
+    """F1/F2/F5 — predicate + projection (pushdown-friendly)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.where(F.col("lang").isin("en", "de") & (F.col("n_chars") > 200)).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+SQL_tag_filter_project = (
+    "SELECT doc_id, lang, n_chars FROM documents "
+    "WHERE lang IN ('en','de') AND n_chars > 200"
+)
+
+
+def q_id_semi_join_scan(spark, sf_dir):
+    """S2 — indexed id-set scan ≡ semi-join against an id set."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.where(F.col("l_orderkey") % 97 == 0).select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+
+
+SQL_id_semi_join_scan = (
+    "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem WHERE l_orderkey % 97 = 0"
+)
+
+
+def q_version_compaction(spark, sf_dir):
+    """ST2 — CDC last-writer-wins compaction (window dedup)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id", "event_type",
+            F.col("event_id").alias("last_event_id"),
+            F.round("value", 4).alias("last_value"),
+        )
+    )
+
+
+SQL_version_compaction = (
+    "SELECT user_id, event_type, event_id AS last_event_id, ROUND(value, 4) AS last_value "
+    "FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type "
+    "ORDER BY ts DESC, event_id DESC) rn FROM events) WHERE rn = 1"
+)
+
+
+def q_agg_pricing(spark, sf_dir):
+    """A-family — multi-aggregate groupBy (TPC-H Q1 shape)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+SQL_agg_pricing = (
+    "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty, "
+    "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+    "ROUND(AVG(l_discount), 6) AS avg_disc, COUNT(*) AS n_rows "
+    "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+)
+
+
+def q_join_revenue(spark, sf_dir):
+    """J1 — shuffled equi-join + aggregation."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_join_revenue = (
+    "SELECT o_orderpriority, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+    "COUNT(*) AS n_items FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "GROUP BY o_orderpriority"
+)
+
+
+def q_broadcast_dims(spark, sf_dir):
+    """J8/J9 — broadcast dimension joins (customer ⋈ nation ⋈ region)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+    )
+
+
+SQL_broadcast_dims = (
+    "SELECT r_name, n_name, COUNT(*) AS n_customers, ROUND(AVG(c_acctbal), 4) AS avg_bal "
+    "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name, n_name"
+)
+
+
+def q_anti_join_missing(spark, sf_dir):
+    """T1/T4 — anti-join ("expected but absent" half of the set diff)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+SQL_anti_join_missing = (
+    "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN "
+    "(SELECT o_custkey FROM orders)"
+)
+
+
+def q_full_outer_diff(spark, sf_dir):
+    """T1 — expected-vs-actual diff in one full-outer pass (the
+    reference classifies 'lost'/'gained' per country,
+    AdminCountPerCountryAnalyzer.cs:240-257)."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    expected = p.where(F.col("p_size") < 20).select("p_type").distinct()
+    actual = p.where(F.col("p_retailprice") > 1400).select("p_type").distinct()
+    e = expected.withColumnRenamed("p_type", "t").withColumn("e", F.lit(1))
+    a = actual.withColumnRenamed("p_type", "t").withColumn("a", F.lit(1))
+    j = e.join(a, "t", "full_outer")
+    status = (
+        F.when(F.col("e").isNotNull() & F.col("a").isNull(), F.lit("lost"))
+        .when(F.col("e").isNull() & F.col("a").isNotNull(), F.lit("gained"))
+        .otherwise(F.lit("kept"))
+    )
+    return j.select(F.col("t").alias("p_type"), status.alias("status"))
+
+
+SQL_full_outer_diff = (
+    "SELECT COALESCE(e.t, a.t) AS p_type, CASE "
+    "WHEN e.t IS NOT NULL AND a.t IS NULL THEN 'lost' "
+    "WHEN e.t IS NULL AND a.t IS NOT NULL THEN 'gained' ELSE 'kept' END AS status "
+    "FROM (SELECT DISTINCT p_type t FROM part WHERE p_size < 20) e "
+    "FULL OUTER JOIN (SELECT DISTINCT p_type t FROM part WHERE p_retailprice > 1400) a "
+    "ON e.t = a.t"
+)
+
+
+def q_first_seen(spark, sf_dir):
+    """A8 — FirstTimeSeen carry-forward: first occurrence timestamp per
+    issue identity (epoch seconds for engine-neutral compare)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.unix_timestamp(F.min("ts")).alias("first_seen_epoch"),
+        F.count(F.lit(1)).alias("n_seen"),
+    )
+
+
+SQL_first_seen = (
+    "SELECT user_id, event_type, CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS first_seen_epoch, "
+    "COUNT(*) AS n_seen FROM events GROUP BY user_id, event_type"
+)
+
+
+def q_endpoint_degree(spark, sf_dir):
+    """A4 — coastline endpoint-degree connectivity check
+    (CoastlineValidationTest.cs:16-116) over synthetic 'ways':
+    way = lineitem row, first_node = l_partkey, last_node = l_suppkey.
+    Nodes with nonzero degree are 'unconnected'."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    firsts = li.select(F.col("l_partkey").alias("node_id"), F.lit(1).alias("d"))
+    lasts = li.select(F.col("l_suppkey").alias("node_id"), F.lit(-1).alias("d"))
+    return (
+        firsts.unionByName(lasts)
+        .groupBy("node_id")
+        .agg(F.sum("d").cast("long").alias("degree"))
+        .where(F.col("degree") != 0)
+    )
+
+
+SQL_endpoint_degree = (
+    "SELECT node_id, CAST(SUM(d) AS BIGINT) AS degree FROM ("
+    "SELECT l_partkey AS node_id, 1 AS d FROM lineitem "
+    "UNION ALL SELECT l_suppkey AS node_id, -1 AS d FROM lineitem) "
+    "GROUP BY node_id HAVING CAST(SUM(d) AS BIGINT) <> 0"
+)
+
+
+def q_topk_per_group(spark, sf_dir):
+    """O-family — top-3 orders by price per priority (window top-k)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "rn")
+    )
+
+
+SQL_topk_per_group = (
+    "SELECT o_orderpriority, o_orderkey, rn FROM (SELECT o_orderpriority, o_orderkey, "
+    "row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, "
+    "o_orderkey ASC) rn FROM orders) WHERE rn <= 3"
+)
+
+
+def q_sessionize(spark, sf_dir):
+    """Sessionization: gap > 1800 s starts a new session (lag + cumsum)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w)
+    flagged = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_sess").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+SQL_sessionize = (
+    "SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events "
+    "FROM (SELECT user_id, CASE WHEN prev_e IS NULL OR "
+    "CAST(FLOOR(epoch(ts)) AS BIGINT) - prev_e > 1800 THEN 1 ELSE 0 END AS new_sess "
+    "FROM (SELECT user_id, ts, lag(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) prev_e FROM events)) GROUP BY user_id"
+)
+
+
+def q_issue_counts(spark, sf_dir):
+    """A7 — counts per type (the issues dashboard aggregate)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_issue_counts = "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type"
+
+
+def q_scalar_pipeline(spark, sf_dir):
+    """C-family scalar functions: lpad / substring / concat_ws / CASE."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return p.select(
+        "p_partkey",
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("padded"),
+        F.concat_ws("|", F.col("p_brand"), F.substring("p_type", 1, 5)).alias("brand_type"),
+        F.when(F.col("p_size") < 10, "S").when(F.col("p_size") < 30, "M")
+        .otherwise("L").alias("size_class"),
+    )
+
+
+SQL_scalar_pipeline = (
+    "SELECT p_partkey, lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS padded, "
+    "concat_ws('|', p_brand, substr(p_type, 1, 5)) AS brand_type, "
+    "CASE WHEN p_size < 10 THEN 'S' WHEN p_size < 30 THEN 'M' ELSE 'L' END AS size_class "
+    "FROM part"
+)
+
+
+# --- spatial over derived event points -------------------------------------
+
+_CELL_RES = 6
+_TILE_FINE = 8
+_TILE_COARSE = 4
+
+
+def q_cell_encode_counts(spark, sf_dir):
+    """C15 — vectorized hierarchical cell encode + counts per cell."""
+    return tile_counts(_events_geo(spark, sf_dir), _CELL_RES).withColumnRenamed(
+        "tile", "cell"
+    ).withColumnRenamed("n_images", "n")
+
+
+SQL_cell_encode_counts = (
+    f"SELECT {C.cell_sql('lon', 'lat', _CELL_RES)} AS cell, COUNT(*) AS n "
+    f"FROM ({_GEO_SQL}) GROUP BY 1"
+)
+
+
+def q_tile_rollup_parent(spark, sf_dir):
+    """Hierarchy invariant: counts at res 8 rolled up via parent-id bit
+    arithmetic == direct encode at res 4 (the oracle computes the
+    latter; match proves the hierarchy is sound cross-engine)."""
+    fine = tile_counts(_events_geo(spark, sf_dir), _TILE_FINE)
+    return tile_rollup(fine, steps=_TILE_FINE - _TILE_COARSE).withColumnRenamed(
+        "parent_tile", "cell"
+    ).withColumnRenamed("n_images", "n")
+
+
+SQL_tile_rollup_parent = (
+    f"SELECT {C.cell_sql('lon', 'lat', _TILE_COARSE)} AS cell, COUNT(*) AS n "
+    f"FROM ({_GEO_SQL}) GROUP BY 1"
+)
+
+
+def q_pip_rect_join(spark, sf_dir):
+    """J3 — the flagship PIP containment join (rect admin set)."""
+    return pip_join(_events_geo(spark, sf_dir), _prep_rect()).select(
+        "event_id", "polygon_id"
+    )
+
+
+SQL_pip_rect_join = (
+    "SELECT event_id, polygon_id FROM (" + _rect_join_sql(_GEO_SQL) + ")"
+)
+
+
+def q_pip_rect_counts(spark, sf_dir):
+    """A5/A9 — per-polygon feature counts off the PIP join."""
+    return (
+        pip_join(_events_geo(spark, sf_dir), _prep_rect())
+        .groupBy("polygon_id")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+
+
+SQL_pip_rect_counts = (
+    "SELECT polygon_id, COUNT(*) AS n_points FROM ("
+    + _rect_join_sql(_GEO_SQL)
+    + ") GROUP BY polygon_id"
+)
+
+
+def q_knn_events(spark, sf_dir):
+    """J11 — exact cell-bucketed kNN join (probes: event_id % 200 = 0)."""
+    geo = _events_geo(spark, sf_dir)
+    probes = geo.where(F.col("event_id") % 200 == 0).withColumnRenamed(
+        "event_id", "probe_id"
+    )
+    cands = geo.withColumnRenamed("event_id", "cand_id")
+    return knn_join(probes, cands, k=3, res=_CELL_RES).select(
+        "probe_id", "cand_id", "rank"
+    )
+
+
+SQL_knn_events = (
+    "SELECT probe_id, cand_id, rank FROM ("
+    "SELECT p.event_id AS probe_id, c.event_id AS cand_id, "
+    "row_number() OVER (PARTITION BY p.event_id ORDER BY "
+    "(p.lon - c.lon) * (p.lon - c.lon) + (p.lat - c.lat) * (p.lat - c.lat) ASC, "
+    "c.event_id ASC) AS rank "
+    f"FROM ({_GEO_SQL}) p JOIN ({_GEO_SQL}) c ON p.event_id <> c.event_id "
+    "WHERE p.event_id % 200 = 0) WHERE rank <= 3"
+)
+
+
+def q_coverage_observed(spark, sf_dir):
+    """A9 — raster-tile ↔ vector-polygon coverage aggregation."""
+    geo = _events_geo(spark, sf_dir)
+    return observed_coverage(geo, _prep_rect(), tile_res=_TILE_COARSE,
+                             fine_res=_TILE_FINE).withColumnRenamed(
+        "n_images", "n_points"
+    )
+
+
+SQL_coverage_observed = (
+    f"SELECT {C.cell_sql('lon', 'lat', _TILE_COARSE)} AS tile, polygon_id, "
+    f"COUNT(*) AS n_points, "
+    f"COUNT(DISTINCT {C.cell_sql('lon', 'lat', _TILE_FINE)}) AS n_occupied_cells "
+    "FROM (" + _rect_join_sql(_GEO_SQL) + ") GROUP BY 1, 2"
+)
+
+
+# --- training-data ops over documents/embeddings ---------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup groups (composite key lang:n_chars to get real groups)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    keyed = d.withColumn(
+        "k", F.concat(F.col("lang"), F.lit(":"), F.col("n_chars").cast("string"))
+    )
+    return D.exact_dedup(keyed, "k", "doc_id")
+
+
+SQL_dedup_exact = (
+    "SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies FROM documents "
+    "GROUP BY lang || ':' || CAST(n_chars AS VARCHAR)"
+)
+
+
+def q_token_quality(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return TX.with_quality(d).select(
+        "doc_id", "n_tokens", "avg_token_len", "stopword_hits", "quality_ok"
+    )
+
+
+def _sql_token_quality():
+    q = TX.quality_sql("text")
+    return (
+        f"SELECT doc_id, {q['n_tokens']} AS n_tokens, {q['avg_token_len']} AS avg_token_len, "
+        f"{q['stopword_hits']} AS stopword_hits, {q['quality_ok']} AS quality_ok FROM documents"
+    )
+
+
+def q_lang_guess(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return TX.with_lang_guess(d).select("doc_id", "lang_guess")
+
+
+SQL_lang_guess = f"SELECT doc_id, {TX.lang_guess_sql('text')} AS lang_guess FROM documents"
+
+
+def q_fingerprint(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return TX.with_fingerprint(d).select("doc_id", "fingerprint")
+
+
+SQL_fingerprint = "SELECT doc_id, md5(text) AS fingerprint FROM documents"
+
+
+def q_jaccard_topk(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.jaccard_topk(d, "doc_id", k=20)
+
+
+def _sql_jaccard_topk():
+    sh = D.shingles_sql("documents", "doc_id")
+    return (
+        f"WITH sh AS ({sh}), sizes AS (SELECT doc_id, COUNT(*) n_sh FROM sh GROUP BY 1), "
+        "shared AS (SELECT a.doc_id id_a, b.doc_id id_b, COUNT(*) shared FROM sh a "
+        "JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT id_a, id_b, shared, CAST(FLOOR(100 * shared / "
+        "(na.n_sh + nb.n_sh - shared)) AS BIGINT) AS jaccard_pct "
+        "FROM shared JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b "
+        "ORDER BY jaccard_pct DESC, shared DESC, id_a ASC, id_b ASC LIMIT 20"
+    )
+
+
+def q_minhash_pairs(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.minhash_lsh_pairs(d, "doc_id", bands=8)
+
+
+def _sql_minhash_pairs():
+    sh = D.shingles_sql("documents", "doc_id")
+    return (
+        f"WITH sh AS ({sh}), "
+        "sig AS (SELECT doc_id, band, MIN(md5(CAST(band AS VARCHAR) || ':' || shingle)) min_h "
+        "FROM sh, UNNEST(generate_series(0, 7)) AS bt(band) GROUP BY doc_id, band), "
+        "sized AS (SELECT *, COUNT(*) OVER (PARTITION BY band, min_h) bucket_n FROM sig) "
+        "SELECT a.doc_id id_a, b.doc_id id_b, COUNT(*) n_shared_bands "
+        "FROM sized a JOIN sized b ON a.band = b.band AND a.min_h = b.min_h "
+        "AND a.doc_id < b.doc_id WHERE a.bucket_n <= 1000 AND b.bucket_n <= 1000 "
+        "GROUP BY 1, 2"
+    )
+
+
+def q_simhash_groups(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.simhash_dup_groups(d, "doc_id")
+
+
+def _sql_simhash_groups():
+    sh = D.shingles_sql("documents", "doc_id", size=6, stride=8)
+    sums = ", ".join(
+        f"SUM(CASE WHEN substr(md5(shingle), {j + 1}, 1) IN "
+        f"('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(16)
+    )
+    bits = " + ".join(f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(16))
+    return (
+        f"WITH sh AS ({sh}), agg AS (SELECT doc_id, {sums} FROM sh GROUP BY doc_id), "
+        f"sim AS (SELECT doc_id, CAST({bits} AS BIGINT) AS simhash16 FROM agg) "
+        "SELECT simhash16, COUNT(*) AS n_docs, MIN(doc_id) AS min_id FROM sim "
+        "GROUP BY simhash16 HAVING COUNT(*) > 1"
+    )
+
+
+_EMB_DIMS = 64
+
+
+def q_cosine_topk(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return S.cosine_topk_brute(e, F.col("vec_id") % 50 == 0, k=5)
+
+
+SQL_cosine_topk = (
+    "SELECT probe_id, neighbor_id, rank FROM ("
+    "SELECT p.vec_id probe_id, c.vec_id neighbor_id, row_number() OVER ("
+    "PARTITION BY p.vec_id ORDER BY list_cosine_similarity(p.embedding, c.embedding) DESC, "
+    "c.vec_id ASC) rank FROM embeddings p JOIN embeddings c ON p.vec_id <> c.vec_id "
+    "WHERE p.vec_id % 50 = 0) WHERE rank <= 5"
+)
+
+
+def q_lsh_histogram(spark, sf_dir):
+    """ANN bucketing parity: LSH bucket histogram."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (
+        e.withColumn("bucket", S.lsh_bucket_col("embedding", _EMB_DIMS))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+
+
+def _sql_lsh_histogram():
+    return (
+        f"SELECT {S.lsh_bucket_sql('embedding', _EMB_DIMS)} AS bucket, COUNT(*) AS n_vecs "
+        "FROM embeddings GROUP BY 1"
+    )
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return S.lsh_topk(e, F.col("vec_id") % 50 == 0, k=5, dims=_EMB_DIMS)
+
+
+def _sql_ann_lsh_topk():
+    b = S.lsh_bucket_sql("embedding", _EMB_DIMS)
+    return (
+        f"WITH bk AS (SELECT vec_id, embedding, {b} AS bkt FROM embeddings) "
+        "SELECT probe_id, neighbor_id, rank FROM ("
+        "SELECT p.vec_id probe_id, c.vec_id neighbor_id, row_number() OVER ("
+        "PARTITION BY p.vec_id ORDER BY list_cosine_similarity(p.embedding, c.embedding) DESC, "
+        "c.vec_id ASC) rank FROM bk p JOIN bk c ON p.bkt = c.bkt AND p.vec_id <> c.vec_id "
+        "WHERE p.vec_id % 50 = 0) WHERE rank <= 5"
+    )
+
+
+# --- image pipeline (rows-only; pixels can't exist in the DuckDB views) ----
+
+_SF_N_IMAGES = 20_000  # images per unit sf-dir for the entry-scale run
+
+
+def q_images_flagship(spark, sf_dir):
+    """The flagship image pipeline (geotag → PIP → tile → counts) over
+    a deterministically generated images table sized to the sf tier.
+    Rows-only check (binary pixels are not SQL-expressible); pixel /
+    caption / phash invariants are pinned in pytest."""
+    sf = _sf_of(sf_dir)
+    n = max(2000, int(_SF_N_IMAGES * sf * 100))
+    from .pipeline import flagship
+
+    return flagship(I.images_df(spark, n, seed=42))
+
+
+def _sf_of(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.001
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "tag_filter_project": q_tag_filter_project,
+    "id_semi_join_scan": q_id_semi_join_scan,
+    "version_compaction": q_version_compaction,
+    "agg_pricing": q_agg_pricing,
+    "join_revenue": q_join_revenue,
+    "broadcast_dims": q_broadcast_dims,
+    "anti_join_missing": q_anti_join_missing,
+    "full_outer_diff": q_full_outer_diff,
+    "first_seen": q_first_seen,
+    "endpoint_degree": q_endpoint_degree,
+    "topk_per_group": q_topk_per_group,
+    "sessionize": q_sessionize,
+    "issue_counts": q_issue_counts,
+    "scalar_pipeline": q_scalar_pipeline,
+    "cell_encode_counts": q_cell_encode_counts,
+    "tile_rollup_parent": q_tile_rollup_parent,
+    "pip_rect_join": q_pip_rect_join,
+    "pip_rect_counts": q_pip_rect_counts,
+    "knn_events": q_knn_events,
+    "coverage_observed": q_coverage_observed,
+    "dedup_exact": q_dedup_exact,
+    "token_quality": q_token_quality,
+    "lang_guess": q_lang_guess,
+    "fingerprint": q_fingerprint,
+    "jaccard_topk": q_jaccard_topk,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_groups": q_simhash_groups,
+    "cosine_topk": q_cosine_topk,
+    "lsh_histogram": q_lsh_histogram,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "images_flagship": q_images_flagship,
+}
+
+ORACLES: dict[str, str] = {
+    "tag_filter_project": SQL_tag_filter_project,
+    "id_semi_join_scan": SQL_id_semi_join_scan,
+    "version_compaction": SQL_version_compaction,
+    "agg_pricing": SQL_agg_pricing,
+    "join_revenue": SQL_join_revenue,
+    "broadcast_dims": SQL_broadcast_dims,
+    "anti_join_missing": SQL_anti_join_missing,
+    "full_outer_diff": SQL_full_outer_diff,
+    "first_seen": SQL_first_seen,
+    "endpoint_degree": SQL_endpoint_degree,
+    "topk_per_group": SQL_topk_per_group,
+    "sessionize": SQL_sessionize,
+    "issue_counts": SQL_issue_counts,
+    "scalar_pipeline": SQL_scalar_pipeline,
+    "cell_encode_counts": SQL_cell_encode_counts,
+    "tile_rollup_parent": SQL_tile_rollup_parent,
+    "pip_rect_join": SQL_pip_rect_join,
+    "pip_rect_counts": SQL_pip_rect_counts,
+    "knn_events": SQL_knn_events,
+    "coverage_observed": SQL_coverage_observed,
+    "dedup_exact": SQL_dedup_exact,
+    "token_quality": _sql_token_quality(),
+    "lang_guess": SQL_lang_guess,
+    "fingerprint": SQL_fingerprint,
+    "jaccard_topk": _sql_jaccard_topk(),
+    "minhash_pairs": _sql_minhash_pairs(),
+    "simhash_groups": _sql_simhash_groups(),
+    "cosine_topk": SQL_cosine_topk,
+    "lsh_histogram": _sql_lsh_histogram(),
+    "ann_lsh_topk": _sql_ann_lsh_topk(),
+    # images_flagship: rows-only (no SQL twin; see q_images_flagship)
+}

@@ -1,0 +1,133 @@
+"""Snapshot catalog — a minimal Iceberg-style table layout on parquet.
+
+No Iceberg runtime jar ships in this environment (SURVEY.md §7.0), so
+the engine provides the subset of semantics the north_rule needs, in
+a layout deliberately shaped like Iceberg's so a real catalog can slot
+in behind the same API:
+
+* a table is a directory of immutable parquet data files plus
+  ``manifests/manifest-N.json`` listing the files of snapshot N with
+  **per-file row/byte metrics** and **lineage** (what inputs + stage
+  fingerprint produced the snapshot) — the reference's transactional
+  watermark (``KeyValueDatabase.cs:83-115``, ``Program.cs:97-116``)
+  generalized;
+* commits are atomic: the manifest is written to a temp name and
+  ``os.rename``d into place, then the ``CURRENT`` pointer file is
+  atomically renamed — readers see the old or the new snapshot, never
+  a partial one (Iceberg's swap-pointer commit);
+* ``run_stage`` gives resumability: a stage whose (name, inputs
+  fingerprint) already has a committed snapshot is skipped and its
+  output re-read — a killed multi-stage job re-runs only unfinished
+  stages (ST3: "resume = re-run from last committed snapshot").
+
+Time never enters snapshot content (deterministic resume); wall-clock
+appears only as informational metadata.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+CURRENT = "CURRENT"
+
+
+class Table:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+
+    # -- read side ----------------------------------------------------------
+
+    def current_snapshot(self) -> int | None:
+        ptr = os.path.join(self.root, CURRENT)
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as fh:
+            return int(fh.read().strip())
+
+    def manifest(self, snapshot: int | None = None) -> dict | None:
+        if snapshot is None:
+            snapshot = self.current_snapshot()
+        if snapshot is None:
+            return None
+        path = os.path.join(self.root, "manifests", f"manifest-{snapshot}.json")
+        with open(path) as fh:
+            return json.load(fh)
+
+    def read(self, spark: SparkSession, snapshot: int | None = None) -> DataFrame:
+        m = self.manifest(snapshot)
+        if m is None or not m["files"]:
+            raise FileNotFoundError(f"no snapshot in {self.root}")
+        return spark.read.parquet(*[os.path.join(self.root, f["path"]) for f in m["files"]])
+
+    # -- write side ---------------------------------------------------------
+
+    def commit(self, df: DataFrame, lineage: dict | None = None) -> int:
+        """Write df as a new snapshot; atomic pointer swap; returns id."""
+        snap = (self.current_snapshot() or 0) + 1
+        rel_dir = os.path.join("data", f"snap-{snap}-{uuid.uuid4().hex[:8]}")
+        out_dir = os.path.join(self.root, rel_dir)
+        df.write.mode("errorifexists").parquet(out_dir)
+        files = []
+        for fn in sorted(os.listdir(out_dir)):
+            if not fn.endswith(".parquet"):
+                continue
+            full = os.path.join(out_dir, fn)
+            files.append({
+                "path": os.path.join(rel_dir, fn),
+                "bytes": os.path.getsize(full),
+                "rows": _parquet_rows(full),
+            })
+        manifest = {
+            "snapshot": snap,
+            "files": files,
+            "metrics": {
+                "total_rows": sum(f["rows"] for f in files),
+                "total_bytes": sum(f["bytes"] for f in files),
+                "n_files": len(files),
+            },
+            "lineage": lineage or {},
+            "committed_at_unix": int(time.time()),  # informational only
+        }
+        mpath = os.path.join(self.root, "manifests", f"manifest-{snap}.json")
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=1)
+        os.rename(tmp, mpath)
+        ptr_tmp = os.path.join(self.root, CURRENT + ".tmp")
+        with open(ptr_tmp, "w") as fh:
+            fh.write(str(snap))
+        os.rename(ptr_tmp, os.path.join(self.root, CURRENT))
+        return snap
+
+
+def _parquet_rows(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def fingerprint(*parts) -> str:
+    """Stable fingerprint of stage inputs (snapshot ids, params)."""
+    return hashlib.sha256(json.dumps(parts, sort_keys=True).encode()).hexdigest()[:16]
+
+
+def run_stage(spark: SparkSession, table_root: str, stage: str,
+              inputs_fp: str, build: "callable") -> DataFrame:
+    """Resumable stage: skip if a committed snapshot already carries
+    this (stage, inputs_fp); else build, commit, return the committed
+    data (read back so downstream consumes the durable copy)."""
+    t = Table(table_root)
+    m = t.manifest()
+    if m and m["lineage"].get("stage") == stage and m["lineage"].get("inputs_fp") == inputs_fp:
+        return t.read(spark)
+    df = build()
+    t.commit(df, lineage={"stage": stage, "inputs_fp": inputs_fp})
+    return t.read(spark)

@@ -1,0 +1,114 @@
+"""Cell-encoding spec: three implementations, one behavior."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from osmnightwatch_spark.functions import cells as C
+
+
+def test_roundtrip_decode():
+    rng = np.random.default_rng(0)
+    lon = rng.uniform(-180, 180, 2000)
+    lat = rng.uniform(-90, 90, 2000)
+    for res in (0, 1, 7, 15, 28):
+        cell = C.cell_of(lon, lat, res)
+        r, x, y = C.decode_cell(cell)
+        assert (r == res).all()
+        ex, ey = C.grid_xy(lon, lat, res)
+        assert (x == ex).all() and (y == ey).all()
+
+
+def test_parent_child_closure():
+    rng = np.random.default_rng(1)
+    lon = rng.uniform(-180, 180, 500)
+    lat = rng.uniform(-90, 90, 500)
+    cell = C.cell_of(lon, lat, 10)
+    parent = C.parent_cell(cell)
+    # every cell is among its parent's children
+    kids = C.children_cells(parent)
+    assert (kids == cell[:, None]).any(axis=1).all()
+    # parent of a point's cell == the point's cell at the coarser res
+    assert (parent == C.cell_of(lon, lat, 9)).all()
+
+
+def test_ring_neighbors_wrap_and_clamp():
+    # antimeridian wrap: cell at lon=-179.9 has a neighbor at lon=179.9
+    c_west = C.cell_of([-179.9], [0.0], 5)
+    c_east = C.cell_of([179.9], [0.0], 5)
+    ring = C.ring_neighbors(c_west, 1)
+    assert c_east[0] in ring[0]
+    # pole clamp: no out-of-range y, possibly duplicated ids
+    c_pole = C.cell_of([0.0], [89.9], 5)
+    ringp = C.ring_neighbors(c_pole, 1)
+    _, _, y = C.decode_cell(ringp[0])
+    assert (y <= (1 << 5) - 1).all()
+
+
+def test_bounds_contain_point():
+    rng = np.random.default_rng(2)
+    lon = rng.uniform(-180, 180, 300)
+    lat = rng.uniform(-90, 90, 300)
+    cell = C.cell_of(lon, lat, 9)
+    lon0, lat0, lon1, lat1 = C.cell_bounds(cell)
+    assert (lon >= lon0).all() and (lon <= lon1).all()
+    assert (lat >= lat0).all() and (lat <= lat1).all()
+
+
+@given(
+    st.floats(min_value=-180, max_value=180, allow_nan=False),
+    st.floats(min_value=-90, max_value=90, allow_nan=False),
+    st.integers(min_value=1, max_value=28),
+)
+@settings(max_examples=200, deadline=None)
+def test_hierarchy_property(lon, lat, res):
+    """inside(p, cell at r) implies inside(p, parent at r-1)."""
+    fine = C.cell_of([lon], [lat], res)
+    coarse = C.cell_of([lon], [lat], res - 1)
+    assert C.parent_cell(fine)[0] == coarse[0]
+
+
+def test_spark_and_sql_parity(spark):
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame({
+        "lon": rng.uniform(-180, 180, 1500),
+        "lat": rng.uniform(-90, 90, 1500),
+    })
+    # include exact edges
+    edges = pd.DataFrame({
+        "lon": [-180.0, 180.0, 0.0, 179.999999999],
+        "lat": [-90.0, 90.0, 0.0, -89.999999999],
+    })
+    pdf = pd.concat([pdf, edges], ignore_index=True)
+    df = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("pts", pdf)
+    for res in (4, 11, 28):
+        got_spark = np.sort(
+            C.attach_cell(df, res).select("cell").toPandas()["cell"].to_numpy()
+        )
+        got_sql = np.sort(
+            con.execute(
+                f"SELECT {C.cell_sql('lon', 'lat', res)} c FROM pts"
+            ).fetchnumpy()["c"]
+        )
+        exp = np.sort(C.cell_of(pdf.lon.to_numpy(), pdf.lat.to_numpy(), res))
+        assert (got_spark == exp).all()
+        assert (got_sql == exp).all()
+    # parent_col parity
+    df2 = C.attach_cell(df, 12)
+    got = df2.select(C.parent_col(F.col("cell"), 5).alias("p")).toPandas()["p"]
+    exp = C.parent_cell(C.cell_of(pdf.lon.to_numpy(), pdf.lat.to_numpy(), 12), 5)
+    assert (np.sort(got.to_numpy()) == np.sort(exp)).all()
+
+
+def test_res_validation():
+    with pytest.raises(ValueError):
+        C.cell_of([0.0], [0.0], 29)
+    with pytest.raises(ValueError):
+        C.cell_sql("lon", "lat", -1)

@@ -1,0 +1,123 @@
+"""Dedup / similarity / text operators on hand-built corpora with
+known ground truth."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from osmnightwatch_spark.operators import dedup as D
+from osmnightwatch_spark.operators import similarity as S
+from osmnightwatch_spark.operators import text as TX
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog again and again", "en"),
+    (1, "the quick brown fox jumps over the lazy dog again and again", "en"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy cat again and again", "en"),  # near dup
+    (3, "completely different content about spark query engines works", "en"),
+    (4, "der schnelle braune fuchs springt usw usw usw usw usw usw", "de"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        pd.DataFrame(DOCS, columns=["doc_id", "text", "lang"])
+    )
+
+
+def test_exact_dedup(spark, docs):
+    out = D.exact_dedup(docs, "text", "doc_id").toPandas()
+    dupe = out[out.n_copies > 1]
+    assert len(dupe) == 1 and dupe.iloc[0].keeper_id == 0 and dupe.iloc[0].n_copies == 2
+
+
+def test_jaccard_ranks_near_dups_first(spark, docs):
+    out = D.jaccard_topk(docs, "doc_id", k=3, stride=4).toPandas()
+    top = (out.iloc[0].id_a, out.iloc[0].id_b)
+    assert top == (0, 1) and out.iloc[0].jaccard_pct == 100
+    # the near-dup pair ranks above unrelated pairs
+    pairs = list(zip(out.id_a, out.id_b))
+    assert (0, 2) in pairs or (1, 2) in pairs
+
+
+def test_minhash_finds_exact_dup(spark, docs):
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", bands=8, stride=4).toPandas()
+    row = pairs[(pairs.id_a == 0) & (pairs.id_b == 1)]
+    assert len(row) == 1 and row.iloc[0].n_shared_bands == 8  # identical docs share all bands
+
+
+def test_simhash_collides_exact_dups(spark, docs):
+    s = D.simhash16(docs, "doc_id").toPandas().set_index("doc_id").simhash16
+    assert s[0] == s[1]
+    assert 0 <= s.min() and s.max() < (1 << 16)
+
+
+def test_token_and_quality(spark, docs):
+    out = TX.with_quality(docs).toPandas().set_index("doc_id")
+    assert out.loc[0].n_tokens == 12
+    assert out.loc[3].n_tokens == 8
+    assert bool(out.loc[0].quality_ok)
+
+
+def test_fingerprint_md5(spark, docs):
+    import hashlib
+
+    out = TX.with_fingerprint(docs).toPandas().set_index("doc_id")
+    assert out.loc[3].fingerprint == hashlib.md5(DOCS[3][1].encode()).hexdigest()
+
+
+def _np_cosine_topk(vecs: np.ndarray, probe_ids, k):
+    n = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = n @ n.T
+    out = []
+    for p in probe_ids:
+        order = sorted(
+            (i for i in range(len(vecs)) if i != p),
+            key=lambda i: (-sims[p, i], i),
+        )[:k]
+        out += [(p, i, r + 1) for r, i in enumerate(order)]
+    return set(out)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(21)
+    vecs = rng.normal(size=(120, 16)).astype(np.float32)
+    vecs[7] = vecs[3] + rng.normal(scale=1e-3, size=16).astype(np.float32)  # near-dup pair
+    pdf = pd.DataFrame({"vec_id": range(120), "embedding": list(map(list, vecs))})
+    return spark.createDataFrame(pdf), vecs
+
+
+def test_cosine_topk_vs_numpy(spark, emb):
+    df, vecs = emb
+    got = S.cosine_topk_brute(df, F.col("vec_id") % 30 == 0, k=4).toPandas()
+    exp = _np_cosine_topk(vecs.astype(np.float64), [0, 30, 60, 90], 4)
+    assert set(map(tuple, got.to_numpy())) == exp
+
+
+def test_lsh_topk_subset_of_brute_candidates(spark, emb):
+    df, vecs = emb
+    got = S.lsh_topk(df, F.col("vec_id") % 30 == 0, k=4, dims=16).toPandas()
+    # every LSH neighbor shares the probe's bucket by construction;
+    # ranks are 1..k' and neighbors are valid ids
+    assert (got["rank"] >= 1).all() and got.neighbor_id.isin(range(120)).all()
+    # the planted near-dup is found for probe 3's bucket-mates? probe set
+    # excludes 3; sanity: near-dup pair lands in the same bucket
+    b = df.withColumn("b", S.lsh_bucket_col("embedding", 16)).toPandas().set_index("vec_id").b
+    assert b[3] == b[7]
+
+
+def test_embedding_near_dup_pairs(spark, emb):
+    df, _ = emb
+    pairs = S.embedding_near_dup_pairs(df, dims=16, threshold_pct=99).toPandas()
+    assert (3, 7) in set(map(tuple, pairs.to_numpy()))
+
+
+def test_lang_guess_deterministic(spark):
+    d = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": ["x the value fast value y", "merge big merge big data"],
+    }))
+    out = TX.with_lang_guess(d).toPandas().set_index("doc_id").lang_guess
+    assert out[0] == "en" and out[1] == "zh"

@@ -1,0 +1,111 @@
+"""Spatial operators vs brute-force oracles; strategy equivalence;
+skewed input behavior."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from osmnightwatch_spark.functions import geometry as G
+from osmnightwatch_spark.operators.coverage import geometric_coverage, observed_coverage
+from osmnightwatch_spark.operators.knn import knn_join, knn_join_brute
+from osmnightwatch_spark.operators.pip_join import (
+    PreparedPolygons, pip_join, pip_join_brute,
+)
+from osmnightwatch_spark.sources import polygons as P
+
+
+@pytest.fixture(scope="module")
+def points_pdf():
+    rng = np.random.default_rng(11)
+    base = pd.DataFrame({
+        "pt_id": np.arange(3000),
+        "lon": rng.uniform(-180, 180, 3000),
+        "lat": rng.uniform(-85, 85, 3000),
+    })
+    # skew: 30% of points in one city cell
+    hot = base.sample(900, random_state=2).index
+    base.loc[hot, "lon"] = -100.0 + rng.uniform(0, 0.05, 900)
+    base.loc[hot, "lat"] = 10.0 + rng.uniform(0, 0.05, 900)
+    return base
+
+
+@pytest.fixture(scope="module")
+def prep():
+    return PreparedPolygons.build(P.valid_polygon_list(), res=7)
+
+
+def _pip_sets(df):
+    return set(map(tuple, df[["pt_id", "polygon_id"]].to_numpy()))
+
+
+def test_pip_join_matches_brute(spark, points_pdf, prep):
+    pts = spark.createDataFrame(points_pdf)
+    got = _pip_sets(pip_join(pts, prep).toPandas())
+    exp = _pip_sets(pip_join_brute(pts, P.valid_polygon_list()).toPandas())
+    assert got == exp and len(got) > 0
+
+
+def test_pip_join_shuffle_strategy_equal(spark, points_pdf, prep):
+    pts = spark.createDataFrame(points_pdf)
+    bcast = _pip_sets(pip_join(pts, prep, strategy="broadcast").toPandas())
+    shuf = _pip_sets(pip_join(pts, prep, strategy="shuffle").toPandas())
+    assert bcast == shuf
+
+
+def test_pip_boundary_points(spark, prep):
+    # Westland bounds: (-150, -60, -30, 60) — edge and corner points count inside
+    pts = spark.createDataFrame(pd.DataFrame({
+        "pt_id": [1, 2, 3, 4],
+        "lon": [-150.0, -30.0, -90.0, -150.0],
+        "lat": [0.0, 0.0, 60.0, -60.0],
+    }))
+    got = pip_join(pts, prep).toPandas()
+    hits = got[got.polygon_id == 100].pt_id.tolist()
+    assert sorted(hits) == [1, 2, 3, 4]
+
+
+def test_knn_matches_brute_on_skew(spark, points_pdf):
+    probes = spark.createDataFrame(
+        points_pdf.sample(150, random_state=3).rename(columns={"pt_id": "probe_id"})
+    )
+    cands = spark.createDataFrame(points_pdf.rename(columns={"pt_id": "cand_id"}))
+    got = knn_join(probes, cands, k=4, res=6).toPandas().sort_values(
+        ["probe_id", "rank"]).reset_index(drop=True)
+    exp = knn_join_brute(probes, cands, k=4).toPandas().sort_values(
+        ["probe_id", "rank"]).reset_index(drop=True)
+    assert got[["probe_id", "cand_id", "rank"]].equals(exp[["probe_id", "cand_id", "rank"]])
+
+
+def test_knn_fewer_candidates_than_k(spark):
+    probes = spark.createDataFrame(pd.DataFrame(
+        {"probe_id": [1], "lon": [0.0], "lat": [0.0]}))
+    cands = spark.createDataFrame(pd.DataFrame(
+        {"cand_id": [10, 11], "lon": [1.0, 2.0], "lat": [0.0, 0.0]}))
+    got = knn_join(probes, cands, k=5, res=6).toPandas()
+    assert len(got) == 2 and set(got.cand_id) == {10, 11}
+
+
+def test_observed_coverage_consistent(spark, points_pdf, prep):
+    pts = spark.createDataFrame(points_pdf)
+    cov = observed_coverage(pts, prep, tile_res=3, fine_res=8).toPandas()
+    hits = pip_join(pts, prep).toPandas()
+    assert cov.n_images.sum() == len(hits)
+    assert (cov.n_occupied_cells <= cov.n_images).all()
+
+
+def test_geometric_coverage_approximates_area(spark):
+    """Midpoint estimator: BOUNDARY cells weigh 0.5, so the error is
+    bounded by half the boundary-cell area (∝ perimeter × cell size)
+    and must shrink as the covering refines."""
+    rect = [(1, P.rect_wkb(-180.0, -90.0, -135.0, -45.0))]
+    truth = 1 / 8 * 1 / 4
+    errs = []
+    for res in (6, 8):
+        prep = PreparedPolygons.build(rect, res=res, max_cells=50000)
+        cov = geometric_coverage(spark, prep, tile_res=0).toPandas()
+        bnd = prep.covering[prep.covering.kind == 1]
+        bound = 0.5 * sum(4.0 ** -(int(c) >> 58) for c in bnd.cell)
+        err = abs(cov.covered_fraction.sum() - truth)
+        assert err <= bound + 1e-12
+        errs.append(err)
+    assert errs[1] < errs[0]  # finer covering → tighter estimate

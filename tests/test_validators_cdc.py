@@ -1,0 +1,301 @@
+"""OSM validator layer: polygon assembly failure taxonomy, coastline
+checks, issue diff/carry-forward, CDC compaction/apply/dirty-set,
+snapshot catalog resume."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from osmnightwatch_spark.functions import geometry as G
+from osmnightwatch_spark.operators import assembly as A
+from osmnightwatch_spark.operators import coastline as CL
+from osmnightwatch_spark.operators import issues as IS
+from osmnightwatch_spark.streaming import cdc
+
+# ---------------------------------------------------------------------------
+# fixtures: OSM-shaped entity tables covering every failure reason
+# ---------------------------------------------------------------------------
+
+NODE_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()), T.StructField("lon", T.DoubleType()),
+    T.StructField("lat", T.DoubleType()),
+    T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
+])
+WAY_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("nodes", T.ArrayType(T.LongType())),
+    T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
+])
+REL_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("members", T.ArrayType(T.StructType([
+        T.StructField("member_id", T.LongType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("member_type", T.StringType()),
+    ]))),
+    T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
+])
+
+
+def m(mid, role, mtype="way"):
+    return Row(member_id=mid, role=role, member_type=mtype)
+
+
+@pytest.fixture(scope="module")
+def osm(spark):
+    # square 0..4: nodes 1-4; second square 10..14 (hole): nodes 11-14
+    nodes = [
+        (1, 0.0, 0.0), (2, 4.0, 0.0), (3, 4.0, 4.0), (4, 0.0, 4.0),
+        (11, 1.0, 1.0), (12, 2.0, 1.0), (13, 2.0, 2.0), (14, 1.0, 2.0),
+        (21, 10.0, 0.0), (22, 14.0, 0.0), (23, 14.0, 4.0),  # open chain
+        (31, 20.0, 0.0), (32, 24.0, 0.0), (33, 24.0, 4.0), (34, 20.0, 4.0),
+        (41, 30.0, 0.0), (42, 34.0, 4.0), (43, 30.0, 4.0), (44, 34.0, 0.0),  # bowtie
+        (51, 22.0, 2.0), (52, 26.0, 2.0), (53, 26.0, 6.0), (54, 22.0, 6.0),  # overlaps 120
+    ]
+    ways = [
+        (100, [1, 2, 3]),           # half of outer ring
+        (101, [3, 4, 1]),           # other half
+        (102, [11, 12, 13, 14, 11]),  # closed inner ring
+        (110, [21, 22, 23]),        # dangling chain
+        (120, [31, 32, 33, 34, 31]),  # closed square (single-way ring)
+        (130, [41, 42, 43, 44, 41]),  # self-crossing bowtie ring
+        (140, [1, 2]),              # degenerate 2-node "ring" piece
+        (141, [2, 1]),
+        (150, [51, 52, 53, 54, 51]),  # square crossing way 120's square
+    ]
+    relations = [
+        (1000, [m(100, "outer"), m(101, "outer"), m(102, "inner")]),  # OK w/ hole
+        (1001, [m(999, "outer")]),                                    # missing way
+        (1002, [m(100, "weird_role")]),                               # bad role
+        (1003, [m(102, "inner")]),                                    # no outer
+        (1004, [m(110, "outer")]),                                    # dangles
+        (1005, [m(120, "outer")]),                                    # OK single way
+        (1006, [m(130, "outer")]),                                    # invalid polygon
+        (1007, [m(140, "outer"), m(141, "outer")]),                   # zero-area ring
+        (1008, [m(120, "outer"), m(150, "outer")]),                   # crossing shells
+    ]
+    return (
+        spark.createDataFrame(
+            [(i, lo, la, None) for i, lo, la in nodes], NODE_SCHEMA),
+        spark.createDataFrame([(i, ns, None) for i, ns in ways], WAY_SCHEMA),
+        spark.createDataFrame([(i, ms, None) for i, ms in relations], REL_SCHEMA),
+    )
+
+
+def test_assembly_failure_taxonomy(spark, osm):
+    nodes, ways, relations = osm
+    out = A.assemble_polygons(relations, ways, nodes).toPandas().set_index("relation_id")
+    assert out.loc[1000].reason is None
+    polys = G.wkb_to_polygons(out.loc[1000].geom_wkb)
+    assert len(polys) == 1 and len(polys[0]) == 2  # shell + hole
+    assert out.loc[1001].reason == A.MISSING_WAYS
+    assert out.loc[1002].reason == A.MEMBER_WITHOUT_ROLE
+    assert out.loc[1003].reason == A.NO_OUTER_WAYS
+    assert out.loc[1004].reason == A.DANGLES
+    assert out.loc[1005].reason is None
+    assert out.loc[1006].reason == A.INVALID_RING   # bowtie: ring self-intersects
+    assert out.loc[1007].reason == A.INVALID_RING   # zero-area ring
+    assert out.loc[1008].reason == A.INVALID_POLYGON  # shells cross
+    # assembled geometry is PIP-queryable: point inside shell, outside hole
+    wkb = out.loc[1000].geom_wkb
+    assert bool(G.point_in_wkb(3.5, 3.5, wkb)[0])
+    assert not bool(G.point_in_wkb(1.5, 1.5, wkb)[0])
+
+
+def test_broken_polygon_issues(spark, osm):
+    nodes, ways, relations = osm
+    assembled = A.assemble_polygons(relations, ways, nodes)
+    iss = IS.broken_polygon_issues(assembled).toPandas()
+    assert set(iss.osm_id) == {1001, 1002, 1003, 1004, 1006, 1007, 1008}
+    assert set(iss.details) <= set([
+        A.MISSING_WAYS, A.MEMBER_WITHOUT_ROLE, A.NO_OUTER_WAYS, A.DANGLES,
+        A.CUT_EDGES, A.INVALID_RING, A.INVALID_POLYGON])
+
+
+# ---------------------------------------------------------------------------
+# coastline
+# ---------------------------------------------------------------------------
+
+COAST_SCHEMA = T.StructType([
+    T.StructField("way_id", T.LongType()),
+    T.StructField("first_node", T.LongType()),
+    T.StructField("last_node", T.LongType()),
+    T.StructField("vertices", T.ArrayType(T.StructType([
+        T.StructField("lon", T.DoubleType()), T.StructField("lat", T.DoubleType()),
+    ]))),
+])
+
+
+def v(*pts):
+    return [Row(lon=float(x), lat=float(y)) for x, y in pts]
+
+
+@pytest.fixture(scope="module")
+def coast(spark):
+    rows = [
+        # ring CCW (ok): single closed way
+        (1, 10, 10, v((0, 0), (2, 0), (2, 2), (0, 2), (0, 0))),
+        # ring CW (wrong orientation)
+        (2, 20, 20, v((5, 0), (5, 2), (7, 2), (7, 0), (5, 0))),
+        # connected open pair: 3: a->b, 4: b->a  (also wrong-direction pair shape)
+        (3, 30, 31, v((10, 0), (12, 0))),
+        (4, 31, 30, v((12, 0), (10, 0))),
+        # unconnected endpoint: starts at 40, ends at 41, nothing continues
+        (5, 40, 41, v((20, 0), (22, 0))),
+        # crossing pair
+        (6, 50, 51, v((30, 0), (34, 4))),
+        (7, 52, 53, v((30, 4), (34, 0))),
+        # self-intersecting way
+        (8, 60, 61, v((40, 0), (44, 0), (44, 2), (42, -2))),
+        # short way
+        (9, 70, 70, v((50, 0))),
+    ]
+    return spark.createDataFrame(rows, COAST_SCHEMA)
+
+
+def test_coastline_issues(spark, coast):
+    iss = CL.all_coastline_issues(coast).toPandas()
+    by_type = {t: set(g.osm_id) for t, g in iss.groupby("issue_type")}
+    assert by_type["WrongOrientation"] == {2}
+    assert 5 in by_type["UnconnectedCoastline"] or {40, 41} <= by_type["UnconnectedCoastline"]
+    assert by_type["WrongDirection"] == {3, 4}
+    assert by_type["CrossingCoastline"] == {6, 7}
+    assert by_type["SelfIntersection"] == {8}
+    assert by_type["ShortWay"] == {9}
+    # ok ring produces nothing
+    assert 1 not in set(iss.osm_id)
+
+
+# ---------------------------------------------------------------------------
+# issues diff + carry-forward
+# ---------------------------------------------------------------------------
+
+
+def test_admin_diff_issues(spark):
+    expected = spark.createDataFrame(pd.DataFrame({
+        "country_id": [1, 1, 1, 2, 3],
+        "country_name": ["Alpha", "Alpha", "Alpha", "Beta", "Gamma"],
+        "admin_level": [4, 4, 6, 4, 4],
+        "admin_id": [101, 102, 201, 301, 401],
+    }))
+    actual = spark.createDataFrame(pd.DataFrame({
+        "country_id": [1, 1, 1, 2],
+        "admin_level": [4, 4, 6, 4],
+        "admin_id": [101, 103, 201, 301],
+    }))
+    out = IS.admin_diff_issues(expected, actual).toPandas()
+    lost = out[out.issue_type.str.startswith("LostAdmin")]
+    gained = out[out.issue_type.str.startswith("GainedAdmin")]
+    missing = out[out.issue_type == "MissingCountry"]
+    assert set(lost.osm_id) == {102, 401}
+    assert set(gained.osm_id) == {103}
+    assert set(missing.osm_id) == {3}
+    assert missing.iloc[0].details == "Missing Gamma"
+
+
+def test_first_seen_carry(spark):
+    old = spark.createDataFrame(pd.DataFrame({
+        "issue_type": ["A", "B"], "osm_type": ["R", "R"],
+        "osm_id": [1, 2], "details": ["x", "y"],
+        "first_time_seen": pd.to_datetime(["2024-01-01", "2024-02-01"]),
+    }))
+    new = spark.createDataFrame(pd.DataFrame({
+        "issue_type": ["A", "C"], "osm_type": ["R", "R"],
+        "osm_id": [1, 3], "details": ["x", "z"],
+    }))
+    out = IS.carry_first_seen(new, old, "2024-03-01 00:00:00").toPandas()
+    seen = out.set_index("issue_type").first_time_seen
+    assert str(seen["A"]).startswith("2024-01-01")   # carried
+    assert str(seen["C"]).startswith("2024-03-01")   # new
+    assert IS.last_known_good(new, ["C"], "2024-03-01", "2024-02-15") == "2024-02-15"
+    assert IS.last_known_good(new, ["NOPE"], "2024-03-01", "2024-02-15") == "2024-03-01"
+
+
+# ---------------------------------------------------------------------------
+# CDC
+# ---------------------------------------------------------------------------
+
+CHANGE_SCHEMA = T.StructType([
+    T.StructField("op", T.StringType()),
+    T.StructField("entity_type", T.StringType()),
+    T.StructField("id", T.LongType()),
+    T.StructField("version", T.IntegerType()),
+    T.StructField("payload", T.StructType([
+        T.StructField("id", T.LongType()), T.StructField("val", T.StringType()),
+    ])),
+])
+
+
+def test_cdc_compact_and_apply(spark):
+    changes = spark.createDataFrame([
+        ("C", "node", 1, 1, Row(id=1, val="a1")),
+        ("M", "node", 1, 2, Row(id=1, val="a2")),     # wins for id 1
+        ("M", "node", 2, 5, Row(id=2, val="b5")),     # wins for id 2
+        ("M", "node", 2, 4, Row(id=2, val="b4")),     # stale: ignored
+        ("D", "node", 3, 9, None),                    # tombstone
+        ("C", "node", 4, 1, Row(id=4, val="d1")),
+        ("D", "node", 4, 1, None),                    # same version: D beats C
+    ], CHANGE_SCHEMA)
+    compact = cdc.compact_changeset(changes).toPandas().set_index("id")
+    assert compact.loc[1].version == 2 and compact.loc[1].payload["val"] == "a2"
+    assert compact.loc[2].version == 5 and compact.loc[2].payload["val"] == "b5"
+    assert compact.loc[3].op == "D" and compact.loc[4].op == "D"
+
+    snapshot = spark.createDataFrame(pd.DataFrame({
+        "id": [2, 3, 9], "val": ["old2", "old3", "keep9"]}))
+    merged = cdc.apply_changeset(
+        snapshot, cdc.compact_changeset(changes)).toPandas().set_index("id")
+    assert set(merged.index) == {1, 2, 9}              # 3 deleted, 4 never lands
+    assert merged.loc[2].val == "b5" and merged.loc[9].val == "keep9"
+
+
+def test_dirty_relations(spark, osm):
+    nodes, ways, relations = osm
+    n2w = cdc.lineage_from_ways(ways)
+    w2r = cdc.lineage_from_relations(relations)
+    changed_nodes = spark.createDataFrame(pd.DataFrame({"id": [11]}))  # hole vertex
+    empty = spark.createDataFrame([], "id long")
+    dirty = cdc.dirty_relations(changed_nodes, empty, empty, n2w, w2r).toPandas()
+    assert set(dirty.id) == {1000, 1003}  # relations containing way 102
+
+
+# ---------------------------------------------------------------------------
+# snapshot catalog
+# ---------------------------------------------------------------------------
+
+
+def test_catalog_commit_resume(spark, tmp_path):
+    from osmnightwatch_spark.sources.catalog import Table, fingerprint, run_stage
+
+    root = str(tmp_path / "tbl")
+    df1 = spark.range(100).withColumn("v", F.col("id") * 2)
+    t = Table(root)
+    s1 = t.commit(df1, lineage={"stage": "gen", "inputs_fp": "fp1"})
+    assert s1 == 1
+    m = t.manifest()
+    assert m["metrics"]["total_rows"] == 100 and m["lineage"]["stage"] == "gen"
+    assert t.read(spark).count() == 100
+
+    # second snapshot; old snapshot still readable (time travel)
+    t.commit(df1.where(F.col("id") < 10), lineage={"stage": "gen", "inputs_fp": "fp2"})
+    assert t.read(spark).count() == 10
+    assert t.read(spark, snapshot=1).count() == 100
+
+    # resume: same (stage, fp) skips the build
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(7).withColumn("v", F.lit(0).cast("long"))
+
+    root2 = str(tmp_path / "tbl2")
+    fp = fingerprint("inputs", 1)
+    out1 = run_stage(spark, root2, "s1", fp, build)
+    out2 = run_stage(spark, root2, "s1", fp, build)  # cached — no rebuild
+    assert len(calls) == 1
+    assert out1.count() == out2.count() == 7
+    out3 = run_stage(spark, root2, "s1", fingerprint("inputs", 2), build)
+    assert len(calls) == 2 and out3.count() == 7
