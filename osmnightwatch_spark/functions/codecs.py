@@ -142,11 +142,9 @@ def phash64(img: np.ndarray) -> int:
     coef = D @ small @ D.T
     block = coef[:8, :8].ravel()
     med = np.median(block[1:])  # skip DC
-    bits = (block > med).astype(np.uint64)
-    val = np.uint64(0)
-    for i in range(64):
-        val = (val << np.uint64(1)) | bits[i]
-    return int(val.astype(np.int64))  # signed int64 for Spark LongType
+    bits = (block > med).astype(np.uint8)
+    val = int.from_bytes(np.packbits(bits).tobytes(), "big")
+    return int(np.uint64(val).astype(np.int64))  # signed int64 for Spark LongType
 
 
 def lonlat_from_phash(phash: np.ndarray, city_frac: float = 0.0,

@@ -621,6 +621,155 @@ def _sql_ann_lsh_topk():
     )
 
 
+# --- validator layer --------------------------------------------------------
+
+
+def q_cdc_merge(spark, sf_dir):
+    """ST2/ST3 — changeset compaction + MERGE apply, derived from
+    events (op from event_type, version from event_id) onto a
+    lineitem-derived snapshot. Engine path: streaming/cdc.py."""
+    from ..streaming import cdc
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    changes = ev.select(
+        F.when(F.col("event_type") == "view", "C")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("M").alias("op"),
+        F.lit("entity").alias("entity_type"),
+        (F.col("event_id") % 500).alias("id"),
+        F.col("event_id").cast("int").alias("version"),
+        F.struct(
+            (F.col("event_id") % 500).alias("id"),
+            F.round("value", 4).alias("val"),
+        ).alias("payload"),
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    snapshot = (
+        li.groupBy((F.col("l_orderkey") % 500).alias("id"))
+        .agg(F.round(F.sum("l_quantity"), 2).alias("val"))
+    )
+    return cdc.apply_changeset(snapshot, cdc.compact_changeset(changes))
+
+
+SQL_cdc_merge = (
+    "WITH changes AS (SELECT CASE WHEN event_type = 'view' THEN 'C' "
+    "WHEN event_type = 'error' THEN 'D' ELSE 'M' END AS op, "
+    "event_id % 500 AS id, event_id AS version, ROUND(value, 4) AS val FROM events), "
+    "compacted AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY id "
+    "ORDER BY version DESC, CASE op WHEN 'D' THEN 3 WHEN 'M' THEN 2 ELSE 1 END DESC) rn "
+    "FROM changes) WHERE rn = 1), "
+    "snapshot AS (SELECT l_orderkey % 500 AS id, ROUND(SUM(l_quantity), 2) AS val "
+    "FROM lineitem GROUP BY 1) "
+    "SELECT id, val FROM snapshot WHERE id NOT IN (SELECT id FROM compacted) "
+    "UNION ALL SELECT id, val FROM compacted WHERE op <> 'D'"
+)
+
+
+def q_admin_diff(spark, sf_dir):
+    """T1 — expected-vs-actual diff issues (lost/gained/missing) over
+    part-derived synthetic admin sets. Engine path: operators/issues."""
+    from ..operators.issues import admin_diff_issues
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    expected = p.where(F.col("p_size") < 25).select(
+        (F.col("p_partkey") % 4).alias("country_id"),
+        F.concat(F.lit("C"), (F.col("p_partkey") % 4).cast("string")).alias("country_name"),
+        (F.col("p_size") % 3 + 4).alias("admin_level"),
+        F.col("p_partkey").alias("admin_id"),
+    )
+    actual = p.where(F.col("p_retailprice") > 1000).select(
+        (F.col("p_partkey") % 4).alias("country_id"),
+        (F.col("p_size") % 3 + 4).alias("admin_level"),
+        F.col("p_partkey").alias("admin_id"),
+    )
+    return admin_diff_issues(expected, actual)
+
+
+SQL_admin_diff = (
+    "WITH e AS (SELECT p_partkey % 4 AS country_id, 'C' || CAST(p_partkey % 4 AS VARCHAR) "
+    "AS country_name, p_size % 3 + 4 AS admin_level, p_partkey AS admin_id FROM part "
+    "WHERE p_size < 25), "
+    "a AS (SELECT p_partkey % 4 AS country_id, p_size % 3 + 4 AS admin_level, "
+    "p_partkey AS admin_id FROM part WHERE p_retailprice > 1000) "
+    "SELECT 'LostAdmin' || CAST(e.admin_level AS VARCHAR) AS issue_type, 'R' AS osm_type, "
+    "CAST(e.admin_id AS BIGINT) AS osm_id, 'Lost admin in ' || e.country_name || "
+    "' level ' || CAST(e.admin_level AS VARCHAR) AS details "
+    "FROM e LEFT JOIN a ON e.country_id = a.country_id AND e.admin_level = a.admin_level "
+    "AND e.admin_id = a.admin_id WHERE a.admin_id IS NULL "
+    "UNION ALL "
+    "SELECT 'GainedAdmin' || CAST(a.admin_level AS VARCHAR), 'R', "
+    "CAST(a.admin_id AS BIGINT), 'Gained admin, country ' || "
+    "CAST(a.country_id AS VARCHAR) || ' level ' || CAST(a.admin_level AS VARCHAR) "
+    "FROM a LEFT JOIN e ON e.country_id = a.country_id AND e.admin_level = a.admin_level "
+    "AND e.admin_id = a.admin_id WHERE e.admin_id IS NULL "
+    "UNION ALL "
+    "SELECT 'MissingCountry', 'R', CAST(country_id AS BIGINT), 'Missing ' || country_name "
+    "FROM (SELECT DISTINCT country_id, country_name FROM e) ec "
+    "WHERE country_id NOT IN (SELECT DISTINCT country_id FROM a)"
+)
+
+
+def _osm_fixture(spark):
+    """Deterministic OSM-shaped fixture (the pytest taxonomy corpus)."""
+    from pyspark.sql import Row
+
+    def mem(mid, role):
+        return Row(member_id=mid, role=role, member_type="way")
+
+    nodes = [(1, 0.0, 0.0), (2, 4.0, 0.0), (3, 4.0, 4.0), (4, 0.0, 4.0),
+             (11, 1.0, 1.0), (12, 2.0, 1.0), (13, 2.0, 2.0), (14, 1.0, 2.0),
+             (21, 10.0, 0.0), (22, 14.0, 0.0), (23, 14.0, 4.0)]
+    ways = [(100, [1, 2, 3]), (101, [3, 4, 1]), (102, [11, 12, 13, 14, 11]),
+            (110, [21, 22, 23])]
+    rels = [(1000, [mem(100, "outer"), mem(101, "outer"), mem(102, "inner")]),
+            (1001, [mem(999, "outer")]), (1003, [mem(102, "inner")]),
+            (1004, [mem(110, "outer")])]
+    n = spark.createDataFrame([(i, lo, la, None) for i, lo, la in nodes],
+                              "id long, lon double, lat double, tags map<string,string>")
+    w = spark.createDataFrame([(i, ns, None) for i, ns in ways],
+                              "id long, nodes array<long>, tags map<string,string>")
+    r = spark.createDataFrame(
+        [(i, ms, None) for i, ms in rels],
+        "id long, members array<struct<member_id:long,role:string,member_type:string>>,"
+        " tags map<string,string>")
+    return n, w, r
+
+
+def q_polygon_assembly(spark, sf_dir):
+    """A1/A2/U2 — ring assembly with failure reasons (rows-only: the
+    stitch kernel is not SQL-expressible; pinned exactly in pytest)."""
+    from ..operators.assembly import assemble_polygons
+
+    n, w, r = _osm_fixture(spark)
+    out = assemble_polygons(r, w, n)
+    return out.select("relation_id", "reason",
+                      F.length("geom_wkb").alias("wkb_bytes"))
+
+
+def q_coastline_issues(spark, sf_dir):
+    """A4/C9/C10/J5 — coastline validators (rows-only; pytest-pinned)."""
+    from pyspark.sql import Row
+
+    from ..operators.coastline import all_coastline_issues
+
+    def v(*pts):
+        return [Row(lon=float(x), lat=float(y)) for x, y in pts]
+
+    rows = [
+        (1, 10, 10, v((0, 0), (2, 0), (2, 2), (0, 2), (0, 0))),
+        (2, 20, 20, v((5, 0), (5, 2), (7, 2), (7, 0), (5, 0))),
+        (3, 30, 31, v((10, 0), (12, 0))), (4, 31, 30, v((12, 0), (10, 0))),
+        (5, 40, 41, v((20, 0), (22, 0))),
+        (6, 50, 51, v((30, 0), (34, 4))), (7, 52, 53, v((30, 4), (34, 0))),
+        (8, 60, 61, v((40, 0), (44, 0), (44, 2), (42, -2))),
+    ]
+    ways = spark.createDataFrame(
+        rows,
+        "way_id long, first_node long, last_node long,"
+        " vertices array<struct<lon:double,lat:double>>")
+    return all_coastline_issues(ways)
+
+
 # --- image pipeline (rows-only; pixels can't exist in the DuckDB views) ----
 
 _SF_N_IMAGES = 20_000  # images per unit sf-dir for the entry-scale run
@@ -680,6 +829,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk": q_cosine_topk,
     "lsh_histogram": q_lsh_histogram,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "cdc_merge": q_cdc_merge,
+    "admin_diff": q_admin_diff,
+    "polygon_assembly": q_polygon_assembly,
+    "coastline_issues": q_coastline_issues,
     "images_flagship": q_images_flagship,
 }
 
@@ -714,5 +867,9 @@ ORACLES: dict[str, str] = {
     "cosine_topk": SQL_cosine_topk,
     "lsh_histogram": _sql_lsh_histogram(),
     "ann_lsh_topk": _sql_ann_lsh_topk(),
-    # images_flagship: rows-only (no SQL twin; see q_images_flagship)
+    "cdc_merge": SQL_cdc_merge,
+    "admin_diff": SQL_admin_diff,
+    # polygon_assembly / coastline_issues / images_flagship: rows-only
+    # (ring stitching, curve predicates and pixel payloads are not
+    # SQL-expressible; pinned against pure-python oracles in pytest)
 }

@@ -25,7 +25,7 @@ def test_oracle_keys_subset():
     qs, os_ = E.queries(), E.oracle_sql()
     assert set(os_) <= set(qs)
     # everything except the image pipeline has a SQL twin
-    assert set(qs) - set(os_) == {"images_flagship"}
+    assert set(qs) - set(os_) == {"images_flagship", "polygon_assembly", "coastline_issues"}
 
 
 @pytest.mark.parametrize("name", FAST)

@@ -1,0 +1,254 @@
+"""End-to-end admin validator, relation closure, multimodal image ops,
+structured streaming, and physical-plan quality assertions."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from osmnightwatch_spark.operators.closure import relation_closure
+from osmnightwatch_spark.operators.images_ops import (
+    decode_verify, extract_features, verified_flagship,
+)
+from osmnightwatch_spark.sources import images as I
+
+# ---------------------------------------------------------------------------
+# relation closure
+# ---------------------------------------------------------------------------
+
+
+def rel(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "id long, members array<struct<member_id:long,role:string,member_type:string>>")
+
+
+def test_relation_closure(spark):
+    def m(mid, t="relation"):
+        return Row(member_id=mid, role="", member_type=t)
+
+    relations = rel(spark, [
+        (1, [m(2), m(3), m(100, "way")]),
+        (2, [m(4)]),
+        (3, []),
+        (4, [m(1)]),          # cycle back to 1 — must terminate
+        (5, [m(6)]),          # unreachable
+        (6, []),
+    ])
+    seeds = spark.createDataFrame([(1,)], "id long")
+    out = relation_closure(relations, seeds).toPandas()
+    assert set(out.id) == {1, 2, 3, 4}
+
+
+# ---------------------------------------------------------------------------
+# end-to-end admin validator
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def admin_world(spark):
+    """Two countries; country A has two level-4 admins, B has one;
+    one broken admin relation; expected state disagrees on purpose."""
+    from tests.test_validators_cdc import NODE_SCHEMA, REL_SCHEMA, WAY_SCHEMA, m
+
+    def sq(nid0, wid, x0, y0, x1, y1):
+        nodes = [(nid0, x0, y0), (nid0 + 1, x1, y0), (nid0 + 2, x1, y1), (nid0 + 3, x0, y1)]
+        way = (wid, [nid0, nid0 + 1, nid0 + 2, nid0 + 3, nid0])
+        return nodes, way
+
+    nodes, ways = [], []
+    for nid0, wid, box in [
+        (100, 10, (0, 0, 40, 40)),      # country A
+        (200, 20, (50, 0, 90, 40)),     # country B
+        (300, 30, (5, 5, 15, 15)),      # A-admin 1 (level 4)
+        (400, 40, (20, 20, 35, 35)),    # A-admin 2 (level 4)
+        (500, 50, (55, 5, 70, 20)),     # B-admin 1 (level 4)
+    ]:
+        ns, w = sq(nid0, wid, *box)
+        nodes += ns
+        ways.append(w)
+    nodes.append((900, 10.0, 10.0))     # admin_centre node WITH place tag
+    nodes.append((901, 25.0, 25.0))     # admin_centre node WITHOUT place tag
+
+    def admin_tags(level, name):
+        return {"boundary": "administrative", "type": "boundary",
+                "admin_level": str(level), "name": name}
+
+    relations = [
+        (1, [m(10, "outer"), Row(member_id=900, role="admin_centre", member_type="node")],
+         admin_tags(2, "CountryA")),
+        (2, [m(20, "outer")], admin_tags(2, "CountryB")),
+        (31, [m(30, "outer"), Row(member_id=901, role="admin_centre", member_type="node")],
+         admin_tags(4, "A1")),
+        (41, [m(40, "outer")], admin_tags(4, "A2")),
+        (51, [m(50, "outer")], admin_tags(4, "B1")),
+        (61, [m(999, "outer")], admin_tags(4, "Broken")),   # missing way
+        (71, [m(30, "outer")], {"boundary": "other"}),      # filtered out
+    ]
+    nodes_df = spark.createDataFrame(
+        [(i, float(x), float(y), {"place": "city"} if i == 900 else None)
+         for i, x, y in nodes], NODE_SCHEMA)
+    ways_df = spark.createDataFrame([(i, ns, None) for i, ns in ways], WAY_SCHEMA)
+    rel_df = spark.createDataFrame(relations, REL_SCHEMA)
+    expected = spark.createDataFrame(pd.DataFrame({
+        "country_id": [1, 1, 2, 2],
+        "country_name": ["CountryA", "CountryA", "CountryB", "CountryB"],
+        "admin_level": [4, 4, 4, 4],
+        # expects A1(31) + a vanished 32 in A; B1(51) + 52 vanished in B
+        "admin_id": [31, 32, 51, 52],
+    }))
+    return rel_df, ways_df, nodes_df, expected
+
+
+def test_admin_validator_end_to_end(spark, admin_world):
+    from osmnightwatch_spark.plans.admin_validator import (
+        admin_relations, build_state, country_admin_sets, validate,
+    )
+
+    rel_df, ways_df, nodes_df, expected = admin_world
+    issues = validate(rel_df, ways_df, nodes_df, expected).toPandas()
+    by_type = {t: set(g.osm_id) for t, g in issues.groupby("issue_type")}
+    assert by_type["OpenAdminPolygon"] == {61}          # broken assembly
+    assert by_type["AdminCentre"] == {31}               # node 901 lacks place tag
+    assert by_type["LostAdmin4"] == {32, 52}            # expected but vanished
+    assert by_type["GainedAdmin4"] == {41}              # present but unexpected
+    # no missing-country: both countries produced state
+    assert "MissingCountry" not in by_type
+
+
+def test_country_admin_sets(spark, admin_world):
+    from osmnightwatch_spark.operators.assembly import assemble_polygons
+    from osmnightwatch_spark.plans.admin_validator import (
+        admin_relations, build_state, country_admin_sets,
+    )
+
+    rel_df, ways_df, nodes_df, _ = admin_world
+    admins = admin_relations(rel_df)
+    assembled = assemble_polygons(admins.select("id", "members", "tags"),
+                                  ways_df, nodes_df)
+    state = build_state(assembled, admins.select(
+        F.col("id").alias("relation_id"), "admin_level", "name"))
+    sets = country_admin_sets(state).toPandas().set_index("country_id")
+    assert list(sets.loc[1].admin_ids) == [31, 41] and sets.loc[1].n_admins == 2
+    assert list(sets.loc[2].admin_ids) == [51]
+
+
+# ---------------------------------------------------------------------------
+# multimodal image ops
+# ---------------------------------------------------------------------------
+
+
+def test_decode_verify_all_pass(spark):
+    imgs = I.images_df(spark, 300, partitions=4)
+    out = decode_verify(imgs, check_psnr=True).toPandas()
+    assert len(out) == 300
+    assert out.phash_ok.all() and out.caption_ok.all()
+    assert (out.psnr >= 40.0).all()
+
+
+def test_decode_verify_catches_corruption(spark):
+    imgs = I.images_df(spark, 50, partitions=2).withColumn(
+        "phash", F.col("phash") + 1  # corrupt the stored hash
+    )
+    out = decode_verify(imgs).toPandas()
+    assert not out.phash_ok.any()
+
+
+def test_extract_features(spark):
+    imgs = I.images_df(spark, 100, partitions=2)
+    feats = extract_features(imgs).toPandas()
+    assert len(feats) == 100
+    assert ((feats.mean_r >= 0) & (feats.mean_r <= 255)).all()
+    assert all(len(t) == 16 for t in feats.thumb)
+
+
+def test_verified_flagship_counts(spark):
+    imgs = I.images_df(spark, 1000, partitions=4)
+    out = verified_flagship(imgs).toPandas()
+    assert out.n_images.sum() > 0
+    assert (out.n_images > 0).all()
+
+
+# ---------------------------------------------------------------------------
+# structured streaming
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_tile_counts(spark, tmp_path):
+    import shutil
+
+    from osmnightwatch_spark.sources.catalog import Table
+    from osmnightwatch_spark.streaming.stream import (
+        read_events_stream, stream_to_snapshot_table, windowed_tile_counts,
+    )
+
+    src = str(tmp_path / "in")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.write.mode("overwrite").parquet(src)
+    stream = read_events_stream(spark, src, ev.schema)
+    agg = windowed_tile_counts(stream, res=3)
+    q = stream_to_snapshot_table(
+        agg, str(tmp_path / "tbl"), str(tmp_path / "ckpt")).start()
+    q.awaitTermination(120)
+
+    t = Table(str(tmp_path / "tbl"))
+    snap = t.current_snapshot()
+    assert snap is not None and snap >= 1
+    got = t.read(spark)
+    total_stream = got.agg(F.sum("n")).collect()[0][0]
+    # batch equivalence: same aggregation over the same data
+    batch = windowed_tile_counts(ev, res=3)
+    total_batch = batch.agg(F.sum("n")).collect()[0][0]
+    assert total_stream == total_batch == ev.count()
+
+    # resume: restarting the stream with the same checkpoint reprocesses nothing
+    q2 = stream_to_snapshot_table(
+        agg, str(tmp_path / "tbl"), str(tmp_path / "ckpt")).start()
+    q2.awaitTermination(60)
+    assert t.current_snapshot() == snap  # no new commit
+
+
+# ---------------------------------------------------------------------------
+# physical-plan quality gates (.explain-driven)
+# ---------------------------------------------------------------------------
+
+
+def _plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_pruning_and_pushdown(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    q = df.where(F.col("l_orderkey") == 7).select("l_orderkey", "l_quantity")
+    plan = _plan_of(q)
+    assert "PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,7)" in plan
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_pip_join_plan_shape(spark):
+    from osmnightwatch_spark.operators.pip_join import PreparedPolygons, pip_join
+    from osmnightwatch_spark.sources import polygons as P
+    from osmnightwatch_spark.sources.images import with_geo
+
+    imgs = spark.read.parquet("/root/repo/data/images_sf0.01") \
+        if __import__("os").path.exists("/root/repo/data/images_sf0.01") \
+        else I.images_df(spark, 500, partitions=2)
+    pts = with_geo(imgs.select("image_id", "phash"))
+    prep = PreparedPolygons.build(P.valid_polygon_list(rect_only=True), res=7)
+    plan = _plan_of(pip_join(pts, prep))
+    # the huge point side must join map-side (broadcast), never shuffle
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # geotag + cell encode stay native: only the boundary refine is Python
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_tile_counts_plan_no_python(spark):
+    from osmnightwatch_spark.operators.tiling import tile_counts
+    from osmnightwatch_spark.sources.images import with_geo
+
+    pts = with_geo(I.images_df(spark, 100, partitions=2).select("image_id", "phash"))
+    plan = _plan_of(tile_counts(pts, 8))
+    # everything after the generator source is JVM-native
+    assert "ArrowEvalPython" not in plan.split("MapInPandas")[0]
