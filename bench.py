@@ -56,14 +56,14 @@ def run_flagship(spark, path: str) -> tuple[float, int]:
 
 
 def run_verified(spark, path: str) -> tuple[float, int]:
-    """Timed full pipeline (decode+verify+PIP+tile) — the compute-
-    dominated scaling workload (decode cost ∝ rows, like 100 TB)."""
+    """Timed full pipeline (decode+verify incl. PSNR + PIP + tile) —
+    the compute-dominated scaling workload (cost ∝ rows, like 100 TB)."""
     from osmnightwatch_spark.operators.images_ops import verified_flagship
 
     imgs = spark.read.parquet(path)
     n = imgs.count()
     t0 = time.time()
-    verified_flagship(imgs).count()
+    verified_flagship(imgs, check_psnr=True).count()
     return time.time() - t0, n
 
 
@@ -116,8 +116,46 @@ def main() -> None:
     from osmnightwatch_spark.sources.images import with_geo
     from osmnightwatch_spark.sources.polygons import valid_polygon_list
 
+    # Generation + scaling run in subprocesses BEFORE the main session:
+    # the main bench JVM (large heap) would otherwise squeeze the OS
+    # page cache out from under the scaling runs and skew them badly.
+    path = images_path(sf)
+    n_images = max(2000, int(IMAGES_PER_SF * sf))
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        gen = (
+            "import sys; sys.path.insert(0, %r)\n"
+            "from osmnightwatch_spark.session import get_spark\n"
+            "from osmnightwatch_spark.sources.images import write_images\n"
+            "spark = get_spark('bench-gen', cores=%d)\n"
+            "write_images(spark, %r, %d)\n"
+            "spark.stop()\n" % (REPO, cores, path, n_images)
+        )
+        subprocess.run([sys.executable, "-c", gen], check=True, timeout=1200,
+                       cwd=REPO, capture_output=True)
+
+    scaling = None
+    if do_scaling:
+        cores_n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
+        sec_n = min(
+            flagship_subprocess(cores_n, path, mode="verified") for _ in range(2)
+        )
+        sec_4n = min(
+            flagship_subprocess(cores_n * 4, path, mode="verified") for _ in range(2)
+        )
+        thr_n, thr_4n = n_images / sec_n, n_images / sec_4n
+        scaling = {
+            "cores_n": cores_n,
+            "cores_4n": cores_n * 4,
+            "workload": "decode+verify+PIP+tile",
+            "n_images": n_images,
+            "sec_n": round(sec_n, 3),
+            "sec_4n": round(sec_4n, 3),
+            "images_per_sec_n": round(thr_n, 1),
+            "images_per_sec_4n": round(thr_4n, 1),
+            "efficiency": round(thr_4n / (4 * thr_n), 3),
+        }
+
     spark = get_spark("bench", cores=cores)
-    path, n_images = ensure_images(spark, sf)
     prep = PreparedPolygons.build(valid_polygon_list(), res=7)
 
     timings: dict[str, float] = {}
@@ -172,39 +210,13 @@ def main() -> None:
         "images_per_sec": round(n_images / flagship_sec, 1),
     }
 
-    if do_scaling:
-        # Scaling workload: the FULL pipeline (decode+verify+PIP+tile)
-        # over the sf table — decode dominates wall time, so the job is
-        # compute-bound like the 100 TB case, not scheduler-bound.
+    if scaling is not None:
         # N vs 4N parallelism = local[2] vs local[8]: this sandbox has
         # 16 physical cores behind 32 hyperthreads (measured: 32-proc
         # numpy throughput is only ~15.5× one proc), so 8→32 threads
         # can never express 4× real parallelism; 2→8 stays within the
         # physical-core budget, which is what two cluster sizes give.
-        cores_n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
-        n_run = n_images
-        # shared-host noise: interleave N/4N runs, keep per-config min
-        # (noise only ever adds time)
-        sec_n = min(
-            flagship_subprocess(cores_n, path, mode="verified")
-            for _ in range(2)
-        )
-        sec_4n = min(
-            flagship_subprocess(cores_n * 4, path, mode="verified")
-            for _ in range(2)
-        )
-        thr_n, thr_4n = n_run / sec_n, n_run / sec_4n
-        result["scaling"] = {
-            "cores_n": cores_n,
-            "cores_4n": cores_n * 4,
-            "workload": "decode+verify+PIP+tile",
-            "n_images": n_run,
-            "sec_n": round(sec_n, 3),
-            "sec_4n": round(sec_4n, 3),
-            "images_per_sec_n": round(thr_n, 1),
-            "images_per_sec_4n": round(thr_4n, 1),
-            "efficiency": round(thr_4n / (4 * thr_n), 3),
-        }
+        result["scaling"] = scaling
 
     print(json.dumps(result))
 

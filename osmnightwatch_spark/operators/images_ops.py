@@ -110,7 +110,7 @@ def extract_features(images: DataFrame) -> DataFrame:
 
 
 def verified_flagship(images: DataFrame, tile_res: int = 8,
-                      cover_res: int = 7) -> DataFrame:
+                      cover_res: int = 7, check_psnr: bool = False) -> DataFrame:
     """The full pipeline: decode+verify every image, then geotag → PIP
     join → tile rollup over the verified rows. This is the bench's
     scaling workload (decode dominates, as at 100 TB)."""
@@ -119,7 +119,7 @@ def verified_flagship(images: DataFrame, tile_res: int = 8,
     from .pip_join import PreparedPolygons, pip_join
     from ..functions import cells as C
 
-    verified = decode_verify(images).where(
+    verified = decode_verify(images, check_psnr=check_psnr).where(
         F.col("phash_ok") & F.col("caption_ok") & (F.col("psnr") >= 40.0)
     ).select("image_id", "phash")
     # materialize the (narrow) verified projection so the downstream

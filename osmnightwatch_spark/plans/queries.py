@@ -621,6 +621,75 @@ def _sql_ann_lsh_topk():
     )
 
 
+# --- skew: adaptive cell split ----------------------------------------------
+
+_SKEW_BASE, _SKEW_MAX, _SKEW_CAP = 4, 8, 300
+
+
+def _events_geo_city(spark, sf_dir):
+    """Derived points with a planted dense city (event_id % 4 == 0 →
+    ~0.1° box at (7, 45)) — deterministic, SQL-reproducible skew."""
+    geo = _events_geo(spark, sf_dir)
+    city = F.col("event_id") % 4 == 0
+    return geo.select(
+        "event_id",
+        F.when(city, F.lit(7.0) + (F.col("event_id") % 1000).cast("double") * F.lit(1e-4))
+        .otherwise(F.col("lon")).alias("lon"),
+        F.when(city, F.lit(45.0) + ((F.col("event_id") * 7) % 1000).cast("double") * F.lit(1e-4))
+        .otherwise(F.col("lat")).alias("lat"),
+    )
+
+
+_GEO_CITY_SQL = (
+    "SELECT event_id, "
+    "CASE WHEN event_id % 4 = 0 THEN 7.0 + CAST(event_id % 1000 AS DOUBLE) * 0.0001 "
+    "ELSE lon END AS lon, "
+    "CASE WHEN event_id % 4 = 0 THEN 45.0 + CAST((event_id * 7) % 1000 AS DOUBLE) * 0.0001 "
+    "ELSE lat END AS lat "
+    f"FROM ({_GEO_SQL})"
+)
+
+
+def q_adaptive_cell_split(spark, sf_dir):
+    """North-rule skew handling: stats pass finds hot cells; their rows
+    re-encode at finer resolutions until under the cap (or max_res).
+    Output: per adaptive cell the row count."""
+    from ..operators.skew import adaptive_cells
+
+    pts = _events_geo_city(spark, sf_dir)
+    out = adaptive_cells(pts, base_res=_SKEW_BASE,
+                         max_rows_per_cell=_SKEW_CAP, max_res=_SKEW_MAX)
+    return out.groupBy(F.col("acell")).agg(F.count(F.lit(1)).alias("n"))
+
+
+def _sql_adaptive_cell_split():
+    cells = ", ".join(
+        f"{C.cell_sql('lon', 'lat', r)} AS c{r}"
+        for r in range(_SKEW_BASE, _SKEW_MAX + 1)
+    )
+    hots = []
+    for r in range(_SKEW_BASE, _SKEW_MAX):
+        parent_filter = (
+            f" WHERE c{r - 1} IN (SELECT c{r - 1} FROM h{r - 1})"
+            if r > _SKEW_BASE else ""
+        )
+        hots.append(
+            f"h{r} AS (SELECT c{r}, ANY_VALUE(c{r - 1}) AS c{r - 1} FROM pts"
+            f"{parent_filter} GROUP BY c{r} HAVING COUNT(*) > {_SKEW_CAP})"
+            if r > _SKEW_BASE else
+            f"h{r} AS (SELECT c{r} FROM pts GROUP BY c{r} HAVING COUNT(*) > {_SKEW_CAP})"
+        )
+    case = "CASE "
+    for r in range(_SKEW_BASE, _SKEW_MAX):
+        case += f"WHEN c{r} NOT IN (SELECT c{r} FROM h{r}) THEN c{r} "
+    case += f"ELSE c{_SKEW_MAX} END"
+    return (
+        f"WITH pts AS (SELECT {cells} FROM ({_GEO_CITY_SQL})), "
+        + ", ".join(hots)
+        + f" SELECT {case} AS acell, COUNT(*) AS n FROM pts GROUP BY 1"
+    )
+
+
 # --- validator layer --------------------------------------------------------
 
 
@@ -829,6 +898,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk": q_cosine_topk,
     "lsh_histogram": q_lsh_histogram,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "adaptive_cell_split": q_adaptive_cell_split,
     "cdc_merge": q_cdc_merge,
     "admin_diff": q_admin_diff,
     "polygon_assembly": q_polygon_assembly,
@@ -867,6 +937,7 @@ ORACLES: dict[str, str] = {
     "cosine_topk": SQL_cosine_topk,
     "lsh_histogram": _sql_lsh_histogram(),
     "ann_lsh_topk": _sql_ann_lsh_topk(),
+    "adaptive_cell_split": _sql_adaptive_cell_split(),
     "cdc_merge": SQL_cdc_merge,
     "admin_diff": SQL_admin_diff,
     # polygon_assembly / coastline_issues / images_flagship: rows-only
