@@ -195,6 +195,16 @@ def assemble_polygons(relations: DataFrame, ways: DataFrame,
         "node_missing",
         F.col("node_id").isNotNull() & F.col("lon").isNull(),
     )
+    # relations with no way members at all must still emit a row
+    # ("No outer ways!"), not vanish from the output
+    no_way_members = relations.select(
+        F.col("id").alias("relation_id")
+    ).join(members.select("relation_id"), "relation_id", "left_anti").select(
+        "relation_id",
+        F.lit(None).cast("binary").alias("geom_wkb"),
+        F.lit(NO_OUTER_WAYS).alias("reason"),
+    )
+
     per_way = joined.groupBy("relation_id", "way_id", "role").agg(
         F.max(F.col("way_missing").cast("int")).cast("boolean").alias("way_missing"),
         F.max(F.col("node_missing").cast("int")).cast("boolean").alias("node_missing"),
@@ -206,4 +216,7 @@ def assemble_polygons(relations: DataFrame, ways: DataFrame,
         F.transform(F.col("pcoords"), lambda s: F.struct(s["lon"].alias("lon"),
                                                          s["lat"].alias("lat"))),
     ).drop("pcoords")
-    return per_way.groupBy("relation_id").applyInPandas(_assemble_group, OUT_SCHEMA)
+    assembled = per_way.groupBy("relation_id").applyInPandas(
+        _assemble_group, OUT_SCHEMA
+    )
+    return assembled.unionByName(no_way_members)

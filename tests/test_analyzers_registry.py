@@ -1,0 +1,35 @@
+"""Analyzer registry composition + JSON sink round-trip."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from osmnightwatch_spark.plans.analyzers import default_registry, write_issues_json
+
+from tests.test_validator_plan_streaming import admin_world  # noqa: F401
+from tests.test_validators_cdc import COAST_SCHEMA, v
+
+
+def test_registry_runs_both_analyzers(spark, admin_world, tmp_path):  # noqa: F811
+    rel_df, ways_df, nodes_df, expected = admin_world
+    coast = spark.createDataFrame(
+        [(2, 20, 20, v((5, 0), (5, 2), (7, 2), (7, 0), (5, 0)))], COAST_SCHEMA)
+    entities = {
+        "relations": rel_df, "ways": ways_df, "nodes": nodes_df,
+        "expected": expected, "coastline_ways": coast,
+    }
+    reg = default_registry()
+    issues = reg.run(entities, old_issues=None, batch_ts="2024-05-01 00:00:00")
+    pdf = issues.toPandas()
+    assert set(pdf.analyzer) == {"AdminCountPerCountry", "BrokenCoastline"}
+    assert (pdf.first_time_seen.astype(str).str.startswith("2024-05-01")).all()
+
+    # second batch: carry-forward keeps old timestamps for persisting issues
+    issues2 = reg.run(entities, old_issues=issues, batch_ts="2024-06-01 00:00:00")
+    pdf2 = issues2.toPandas()
+    assert (pdf2.first_time_seen.astype(str).str.startswith("2024-05-01")).all()
+
+    out = str(tmp_path / "issues_json")
+    write_issues_json(issues2, out)
+    back = spark.read.json(out)
+    assert back.count() == len(pdf2)
+    assert {"issue_type", "osm_type", "osm_id", "details", "analyzer"} <= set(back.columns)

@@ -1,0 +1,91 @@
+"""Incremental analyze == full recompute (the ST7 equivalence), node
+move dirtying a relation transitively, delete handling, nested-
+relation ancestor dirtying."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from osmnightwatch_spark.operators.assembly import assemble_polygons
+from osmnightwatch_spark.plans import incremental as INC
+
+from tests.test_validators_cdc import NODE_SCHEMA, REL_SCHEMA, WAY_SCHEMA, m
+
+CHANGE_NODE_SCHEMA = (
+    "op string, entity_type string, id long, version int, "
+    "payload struct<id:long, lon:double, lat:double, tags:map<string,string>>"
+)
+
+
+@pytest.fixture(scope="module")
+def world(spark):
+    nodes = [(i, float(x), float(y)) for i, x, y in [
+        (1, 0, 0), (2, 4, 0), (3, 4, 4), (4, 0, 4),
+        (11, 10, 0), (12, 14, 0), (13, 14, 4), (14, 10, 4),
+    ]]
+    ways = [
+        (100, [1, 2, 3, 4, 1]),
+        (200, [11, 12, 13, 14, 11]),
+    ]
+    rels = [
+        (1000, [m(100, "outer")]),
+        (2000, [m(200, "outer")]),
+        (3000, [Row(member_id=1000, role="", member_type="relation")]),  # nests 1000
+    ]
+    return (
+        spark.createDataFrame([(i, x, y, None) for i, x, y in nodes], NODE_SCHEMA),
+        spark.createDataFrame([(i, ns, None) for i, ns in ways], WAY_SCHEMA),
+        spark.createDataFrame([(i, ms, None) for i, ms in rels], REL_SCHEMA),
+    )
+
+
+def test_incremental_equals_full(spark, world):
+    nodes, ways, rels = world
+    prev = assemble_polygons(rels, ways, nodes)
+
+    # changeset: move node 2 (dirties way 100 → relation 1000 → ancestor 3000)
+    node_changes = spark.createDataFrame(
+        [("M", "node", 2, 2, Row(id=2, lon=5.0, lat=0.0, tags=None))],
+        CHANGE_NODE_SCHEMA)
+    n2, w2, r2, keys = INC.apply_entity_changesets(
+        nodes, ways, rels, node_changes, None, None)
+    assert n2.where("id = 2").collect()[0].lon == 5.0
+
+    dirty = INC.dirty_relation_ids(keys, w2, r2)
+    assert set(r.id for r in dirty.collect()) == {1000, 3000}
+
+    inc = INC.incremental_assemble(prev, n2, w2, r2, dirty).toPandas()
+    full = assemble_polygons(r2, w2, n2).toPandas()
+    inc = inc.sort_values("relation_id").reset_index(drop=True)
+    full = full.sort_values("relation_id").reset_index(drop=True)
+    assert inc.relation_id.equals(full.relation_id)
+    assert inc.reason.fillna("").equals(full.reason.fillna(""))
+    assert all(
+        (a is None and b is None) or bytes(a) == bytes(b)
+        for a, b in zip(inc.geom_wkb, full.geom_wkb)
+    )
+    # and the untouched relation really was carried forward unchanged
+    prev_pdf = prev.toPandas().set_index("relation_id")
+    assert bytes(inc.set_index("relation_id").loc[2000].geom_wkb) == \
+        bytes(prev_pdf.loc[2000].geom_wkb)
+
+
+def test_incremental_delete_relation(spark, world):
+    nodes, ways, rels = world
+    prev = assemble_polygons(rels, ways, nodes)
+    rel_changes = spark.createDataFrame(
+        [("D", "relation", 2000, 2, None)],
+        "op string, entity_type string, id long, version int, "
+        "payload struct<id:long, "
+        "members:array<struct<member_id:long,role:string,member_type:string>>, "
+        "tags:map<string,string>>")
+    n2, w2, r2, keys = INC.apply_entity_changesets(
+        nodes, ways, rels, None, None, rel_changes)
+    assert r2.where("id = 2000").count() == 0
+    dirty = INC.dirty_relation_ids(keys, w2, r2)
+    inc = INC.incremental_assemble(prev, n2, w2, r2, dirty).toPandas()
+    full = assemble_polygons(r2, w2, n2).toPandas()
+    # 2000 deleted; 3000 (no way members) reports "No outer ways!"
+    assert set(inc.relation_id) == set(full.relation_id) == {1000, 3000}
+    assert full.set_index("relation_id").loc[3000].reason == "No outer ways!"
