@@ -184,6 +184,37 @@ def crossing_issues(ways: DataFrame, res: int = 6) -> DataFrame:
     ).applyInPandas(lambda pdf: _cross_kernel(pdf), ISSUE_SCHEMA)
 
 
+def crossing_issues_incremental(ways: DataFrame, changed_ids: DataFrame,
+                                res: int = 6) -> DataFrame:
+    """J6 — the neighborhood join restricted to changed geometries
+    (``BrokenCoastlineAnalyzer.cs:140-166``): only pairs where at
+    least one side changed are re-checked; unchanged×unchanged pairs
+    keep their previous verdicts (carried by the caller's issue
+    merge)."""
+    cells = ways.withColumn(
+        "cell", F.explode(_bbox_cells(F.col("vertices"), F.lit(res)))
+    ).select("way_id", "vertices", "cell")
+    changed_cells = cells.join(
+        changed_ids.withColumnRenamed("id", "way_id"), "way_id", "left_semi"
+    )
+    b = cells.select(
+        F.col("way_id").alias("other_id"),
+        F.col("vertices").alias("other_vertices"),
+        "cell",
+    )
+    pairs = (
+        changed_cells.join(b, "cell")
+        .where(F.col("way_id") != F.col("other_id"))
+        .withColumn("lo", F.least("way_id", "other_id"))
+        .withColumn("hi", F.greatest("way_id", "other_id"))
+        .dropDuplicates(["lo", "hi"])
+        .drop("lo", "hi")
+    )
+    return pairs.groupBy(
+        (F.crc32(F.col("way_id").cast("string")) % 64).alias("_b")
+    ).applyInPandas(lambda pdf: _cross_kernel(pdf), ISSUE_SCHEMA)
+
+
 def all_coastline_issues(ways: DataFrame) -> DataFrame:
     return (
         endpoint_degree_issues(ways)

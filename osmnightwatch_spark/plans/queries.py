@@ -778,6 +778,50 @@ SQL_admin_diff = (
 )
 
 
+def q_important_features(spark, sf_dir):
+    """U3/C7/C8 — expected-tag validation: curated spec dimension
+    (broadcast) ⋈ entities; wrong/missing values → issues with the
+    reference's \"'a', 'b', or 'c'\" detail formatting."""
+    from ..operators.important_features import important_feature_issues
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    entities = p.where(F.col("p_partkey") % 50 == 0).select(
+        F.lit("P").alias("osm_type"),
+        F.col("p_partkey").alias("osm_id"),
+        F.create_map(
+            F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")
+        ).alias("tags"),
+    )
+    specs = entities.select("osm_type", "osm_id").distinct().select(
+        "osm_type", "osm_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit("brand").alias("tag"),
+                         F.array(F.lit("Brand#1"), F.lit("Brand#13"),
+                                 F.lit("Brand#25")).alias("allowed")),
+                F.struct(F.lit("type").alias("tag"),
+                         F.array(F.lit("ECONOMY"), F.lit("PROMO")).alias("allowed")),
+            )
+        ).alias("s"),
+    ).select("osm_type", "osm_id", "s.tag", "s.allowed")
+    return important_feature_issues(entities, specs)
+
+
+SQL_important_features = (
+    "WITH e AS (SELECT p_partkey AS osm_id, p_brand, p_type FROM part "
+    "WHERE p_partkey % 50 = 0) "
+    "SELECT 'ImportantFeature' AS issue_type, 'P' AS osm_type, "
+    "CAST(osm_id AS BIGINT) AS osm_id, "
+    "'Tag ''brand'' is ''' || p_brand || ''', expected ''Brand#1'', ''Brand#13'', "
+    "or ''Brand#25''' AS details FROM e "
+    "WHERE p_brand NOT IN ('Brand#1', 'Brand#13', 'Brand#25') "
+    "UNION ALL "
+    "SELECT 'ImportantFeature', 'P', CAST(osm_id AS BIGINT), "
+    "'Tag ''type'' is ''' || p_type || ''', expected ''ECONOMY'' or ''PROMO''' "
+    "FROM e WHERE p_type NOT IN ('ECONOMY', 'PROMO')"
+)
+
+
 def _osm_fixture(spark):
     """Deterministic OSM-shaped fixture (the pytest taxonomy corpus)."""
     from pyspark.sql import Row
@@ -899,6 +943,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_histogram": q_lsh_histogram,
     "ann_lsh_topk": q_ann_lsh_topk,
     "adaptive_cell_split": q_adaptive_cell_split,
+    "important_features": q_important_features,
     "cdc_merge": q_cdc_merge,
     "admin_diff": q_admin_diff,
     "polygon_assembly": q_polygon_assembly,
@@ -938,6 +983,7 @@ ORACLES: dict[str, str] = {
     "lsh_histogram": _sql_lsh_histogram(),
     "ann_lsh_topk": _sql_ann_lsh_topk(),
     "adaptive_cell_split": _sql_adaptive_cell_split(),
+    "important_features": SQL_important_features,
     "cdc_merge": SQL_cdc_merge,
     "admin_diff": SQL_admin_diff,
     # polygon_assembly / coastline_issues / images_flagship: rows-only
