@@ -145,6 +145,47 @@ def jaccard_topk(df: DataFrame, id_col: str, text: str = "text", k: int = 20,
     )
 
 
+def phash_near_dup_pairs(df: DataFrame, id_col: str = "image_id",
+                         phash_col: str = "phash", max_hamming: int = 7,
+                         bands: int = 8) -> DataFrame:
+    """Image near-dup pairs by perceptual-hash Hamming distance.
+
+    Classic band trick: split the 64-bit phash into ``bands`` equal
+    slices; two hashes within ``max_hamming ≤ bands - 1`` bit flips
+    must agree exactly on at least one band (pigeonhole), so the
+    candidate join is an equi-join on (band, slice) — no O(n²) pass.
+    The exact Hamming filter is native ``bit_count(a ^ b)``.
+
+    Returns (id_a, id_b, hamming), id_a < id_b.
+    """
+    width = 64 // bands
+    mask = (1 << width) - 1
+    sliced = df.select(
+        F.col(id_col).alias("_id"), F.col(phash_col).alias("_ph"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col(phash_col), b * width)
+                .bitwiseAND(F.lit(mask)).alias("slice"),
+            )
+            for b in range(bands)
+        ])).alias("s"),
+    ).select("_id", "_ph", "s.band", "s.slice")
+    a = sliced.select(F.col("_id").alias("id_a"), F.col("_ph").alias("ph_a"),
+                      "band", "slice")
+    b = sliced.select(F.col("_id").alias("id_b"), F.col("_ph").alias("ph_b"),
+                      "band", "slice")
+    hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return (
+        a.join(b, ["band", "slice"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )
+
+
 def simhash16(df: DataFrame, id_col: str, text: str = "text",
               stride: int = 8) -> DataFrame:
     """16-bit SimHash per document: tokens sampled by shingling at

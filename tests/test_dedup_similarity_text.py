@@ -121,3 +121,31 @@ def test_lang_guess_deterministic(spark):
     }))
     out = TX.with_lang_guess(d).toPandas().set_index("doc_id").lang_guess
     assert out[0] == "en" and out[1] == "zh"
+
+
+def test_phash_near_dup_pairs(spark):
+    """Lossy-vs-lossless encodings of the same pixels are near-dups by
+    perceptual hash; unrelated images are not."""
+    import numpy as np
+
+    from osmnightwatch_spark.functions import codecs as K
+    from osmnightwatch_spark.operators.dedup import phash_near_dup_pairs
+
+    rng = np.random.default_rng(33)
+    rows = []
+    for i in range(20):
+        img = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+        ph_raw = K.phash64(img)
+        dec = K.decode(K.encode(img, "lossy1"), "lossy1", 32, 32)
+        ph_lossy = K.phash64(dec)
+        rows.append((f"img{i}_raw", ph_raw))
+        rows.append((f"img{i}_lossy", ph_lossy))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["image_id", "phash"]))
+    pairs = phash_near_dup_pairs(df, max_hamming=7).toPandas()
+    found = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    for i in range(20):
+        a, b = sorted([f"img{i}_raw", f"img{i}_lossy"])
+        assert (a, b) in found, i
+    # no cross-image false pairs at this threshold on random content
+    for x, y in found:
+        assert x.split("_")[0] == y.split("_")[0]
