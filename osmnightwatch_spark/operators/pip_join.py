@@ -124,13 +124,27 @@ def _refine_udf(spark: SparkSession, edges: dict[int, tuple]):
 
 def pip_join(points: DataFrame, prepared: PreparedPolygons,
              lon: str = "lon", lat: str = "lat",
-             strategy: str = "auto", broadcast_limit: int = 2_000_000) -> DataFrame:
+             strategy: str = "auto", broadcast_limit: int = 2_000_000,
+             single_pass: bool = False) -> DataFrame:
     """points ⋈ polygons containment join.
 
     Returns ``points`` columns + ``polygon_id`` (inner-join semantics:
     one output row per (point, containing polygon); points in no
     polygon drop out). Boundary points count as inside (reference
     Contains ∨ Overlaps, ``AdminCountPerCountryAnalyzer.cs:515-518``).
+
+    ``single_pass`` picks which resource the plan spends twice:
+
+    * False (default): FULL hits and BOUNDARY hits are separate
+      branches unioned — the Python ray-cast runs **only** on boundary
+      rows, but the upstream (scan + join) is evaluated once per
+      branch. Right when the input is a cheap columnar scan (Python is
+      the scarce resource; rescanning pruned parquet is nearly free).
+    * True: one pass with an OR-filter — the upstream is scanned once,
+      but the refine UDF is evaluated on every joined row (wasted
+      ray-casts on FULL hits). Right when the upstream is expensive
+      and not re-computable (then prefer materializing upstream — see
+      ``images_ops.verified_flagship`` — or use this flag).
     """
     spark = points.sparkSession
     cov = prepared.covering_df(spark)
@@ -156,10 +170,16 @@ def pip_join(points: DataFrame, prepared: PreparedPolygons,
         # co-partition both sides on the cell key; AQE splits skewed cells
         joined = pts.repartition("_cell").join(cov, "_cell")
 
+    inside = _refine_udf(spark, prepared.edges)
+    if single_pass:
+        refined = joined.where(
+            (F.col("kind") == F.lit(FULL))
+            | inside(F.col(lon), F.col(lat), F.col("polygon_id"))
+        )
+        return refined.drop("_cell", "kind")
     # Split FULL hits (inside by construction — never touch Python)
     # from BOUNDARY hits (exact ray-cast refine). An OR-filter would
     # run the UDF over every joined row; at scale FULL rows dominate.
-    inside = _refine_udf(spark, prepared.edges)
     full_hits = joined.where(F.col("kind") == F.lit(FULL))
     boundary_hits = joined.where(F.col("kind") == F.lit(BOUNDARY)).where(
         inside(F.col(lon), F.col(lat), F.col("polygon_id"))
