@@ -136,12 +136,11 @@ def main() -> None:
     scaling = None
     if do_scaling:
         cores_n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
-        sec_n = min(
-            flagship_subprocess(cores_n, path, mode="verified") for _ in range(2)
-        )
-        sec_4n = min(
-            flagship_subprocess(cores_n * 4, path, mode="verified") for _ in range(2)
-        )
+        # each subprocess already takes min of two timed runs after a
+        # warmup (JIT + page cache); one JVM per config keeps total
+        # bench wall time bounded
+        sec_n = flagship_subprocess(cores_n, path, mode="verified")
+        sec_4n = flagship_subprocess(cores_n * 4, path, mode="verified")
         thr_n, thr_4n = n_images / sec_n, n_images / sec_4n
         scaling = {
             "cores_n": cores_n,

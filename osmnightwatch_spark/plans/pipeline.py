@@ -47,3 +47,53 @@ def flagship(images: DataFrame, tile_res: int = 8, cover_res: int = 7,
             F.countDistinct("phash").alias("n_distinct_phash"),
         )
     )
+
+
+def flagship_checkpointed(spark, images_path: str, work_root: str,
+                          tile_res: int = 8, cover_res: int = 7):
+    """The flagship with per-stage snapshot checkpoints (north_rule:
+    resumable from checkpoint with per-partition lineage + metrics).
+
+    Each stage commits to a catalog table whose manifest records the
+    input fingerprint; a killed job re-run skips every stage whose
+    snapshot already matches — only unfinished stages execute
+    (``sources/catalog.run_stage``). Returns the final DataFrame.
+    """
+    import os
+
+    from ..operators.images_ops import decode_verify
+    from ..sources.catalog import fingerprint, run_stage
+
+    fp_input = fingerprint("images", images_path)
+
+    def stage_verify():
+        imgs = spark.read.parquet(images_path)
+        return decode_verify(imgs).where(
+            F.col("phash_ok") & F.col("caption_ok") & (F.col("psnr") >= 40.0)
+        ).select("image_id", "phash")
+
+    verified = run_stage(spark, os.path.join(work_root, "verified"),
+                         "verify", fp_input, stage_verify)
+
+    fp_hits = fingerprint("hits", fp_input, cover_res)
+
+    def stage_hits():
+        prepared = PreparedPolygons.build(
+            P.valid_polygon_list(rect_only=True), res=cover_res
+        )
+        return pip_join(I.with_geo(verified), prepared)
+
+    hits = run_stage(spark, os.path.join(work_root, "hits"),
+                     "pip", fp_hits, stage_hits)
+
+    fp_roll = fingerprint("rollup", fp_hits, tile_res)
+
+    def stage_rollup():
+        tiled = C.attach_cell(hits, tile_res, out="tile")
+        return tiled.groupBy("polygon_id", "tile").agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.countDistinct("phash").alias("n_distinct_phash"),
+        )
+
+    return run_stage(spark, os.path.join(work_root, "rollup"),
+                     "rollup", fp_roll, stage_rollup)

@@ -299,3 +299,41 @@ def test_catalog_commit_resume(spark, tmp_path):
     assert out1.count() == out2.count() == 7
     out3 = run_stage(spark, root2, "s1", fingerprint("inputs", 2), build)
     assert len(calls) == 2 and out3.count() == 7
+
+
+def test_flagship_checkpointed_resume(spark, tmp_path):
+    """Killed-job resume: re-running the checkpointed flagship skips
+    completed stages (same snapshots, same output); changing the input
+    fingerprint recomputes."""
+    from osmnightwatch_spark.plans.pipeline import flagship, flagship_checkpointed
+    from osmnightwatch_spark.sources.catalog import Table
+    from osmnightwatch_spark.sources.images import images_df
+
+    img_path = str(tmp_path / "imgs")
+    images_df(spark, 800, partitions=4).write.parquet(img_path)
+    work = str(tmp_path / "work")
+
+    out1 = flagship_checkpointed(spark, img_path, work).toPandas()
+    snaps1 = {s: Table(f"{work}/{s}").current_snapshot()
+              for s in ("verified", "hits", "rollup")}
+    assert all(v == 1 for v in snaps1.values())
+    m = Table(f"{work}/verified").manifest()
+    assert m["metrics"]["total_rows"] == 800 and m["metrics"]["n_files"] >= 1
+    assert m["lineage"]["stage"] == "verify"
+
+    # "resume": run again — no stage recomputes (snapshot ids unchanged)
+    out2 = flagship_checkpointed(spark, img_path, work).toPandas()
+    snaps2 = {s: Table(f"{work}/{s}").current_snapshot()
+              for s in ("verified", "hits", "rollup")}
+    assert snaps1 == snaps2
+
+    key = ["polygon_id", "tile"]
+    a = out1.sort_values(key).reset_index(drop=True)
+    b = out2.sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+
+    # equals the un-checkpointed pipeline
+    direct = flagship(spark.read.parquet(img_path)).toPandas() \
+        .sort_values(key).reset_index(drop=True)
+    assert a[["polygon_id", "tile", "n_images"]].equals(
+        direct[["polygon_id", "tile", "n_images"]])
