@@ -20,16 +20,27 @@ from osmnightwatch_spark.plans import queries as Q  # noqa: E402
 from osmnightwatch_spark.session import _ship_package  # noqa: E402
 
 
+def _harden(spark: SparkSession) -> None:
+    """Make a caller-provided session behave like ours: ship the
+    package to executors (the --py-files mechanism) and pin the
+    runtime-settable configs the oracles depend on — UTC so naive
+    timestamps hash identically to DuckDB's, Arrow for the pandas
+    kernels."""
+    _ship_package(spark)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: images → geotag → PIP join → tile assign → rollup."""
-    _ship_package(spark)
+    _harden(spark)
     return Q.q_images_flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-            _ship_package(spark)  # idempotent; needed when the driver builds its own session
+            _harden(spark)  # idempotent; the driver builds its own session
             return fn(spark, sf_dir)
 
         return run
