@@ -55,19 +55,25 @@ def run_flagship(spark, path: str) -> tuple[float, int]:
     return time.time() - t0, n_out
 
 
-def run_verified(spark, path: str) -> tuple[float, int]:
+def run_verified(spark, path: str, keep_mod: int = 2) -> tuple[float, int]:
     """Timed full pipeline (decode+verify incl. PSNR + PIP + tile) —
-    the compute-dominated scaling workload (cost ∝ rows, like 100 TB)."""
+    the compute-dominated scaling workload (cost ∝ rows, like 100 TB).
+    ``keep_mod`` samples 1/keep_mod of the rows to bound bench wall
+    time; the N-vs-4N ratio is row-count invariant."""
+    from pyspark.sql import functions as F
+
     from osmnightwatch_spark.operators.images_ops import verified_flagship
 
-    imgs = spark.read.parquet(path)
+    imgs = spark.read.parquet(path).where(
+        F.crc32(F.col("image_id")) % keep_mod == 0
+    )
     n = imgs.count()
     t0 = time.time()
     verified_flagship(imgs, check_psnr=True).count()
     return time.time() - t0, n
 
 
-def flagship_subprocess(cores: int, path: str, mode: str = "light") -> float:
+def flagship_subprocess(cores: int, path: str, mode: str = "light") -> tuple[float, int]:
     """Fresh-JVM flagship timing at a given core count (scaling runs).
 
     The warmup pass runs the identical job first: it pays JIT/codegen,
@@ -82,9 +88,9 @@ def flagship_subprocess(cores: int, path: str, mode: str = "light") -> float:
         "import bench\n"
         "spark = get_spark('bench-scale', cores=%d)\n"
         "bench.%s(spark, %r)  # warmup (JIT + page cache)\n"
-        "s1, _ = bench.%s(spark, %r)\n"
-        "s2, _ = bench.%s(spark, %r)\n"
-        "print('SCALE_SEC', min(s1, s2))  # min: I/O noise only adds time\n"
+        "s1, n = bench.%s(spark, %r)\n"
+        "s2, n = bench.%s(spark, %r)\n"
+        "print('SCALE_SEC', min(s1, s2), n)  # min: I/O noise only adds time\n"
         "spark.stop()\n"
         % (REPO, cores, runner, path, runner, path, runner, path)
     )
@@ -94,7 +100,8 @@ def flagship_subprocess(cores: int, path: str, mode: str = "light") -> float:
     )
     for line in out.stdout.splitlines():
         if line.startswith("SCALE_SEC"):
-            return float(line.split()[1])
+            parts = line.split()
+            return float(parts[1]), int(parts[2])
     raise RuntimeError(f"scaling run failed (cores={cores}): {out.stderr[-2000:]}")
 
 
@@ -139,14 +146,14 @@ def main() -> None:
         # each subprocess already takes min of two timed runs after a
         # warmup (JIT + page cache); one JVM per config keeps total
         # bench wall time bounded
-        sec_n = flagship_subprocess(cores_n, path, mode="verified")
-        sec_4n = flagship_subprocess(cores_n * 4, path, mode="verified")
-        thr_n, thr_4n = n_images / sec_n, n_images / sec_4n
+        sec_n, n_run = flagship_subprocess(cores_n, path, mode="verified")
+        sec_4n, _ = flagship_subprocess(cores_n * 4, path, mode="verified")
+        thr_n, thr_4n = n_run / sec_n, n_run / sec_4n
         scaling = {
             "cores_n": cores_n,
             "cores_4n": cores_n * 4,
             "workload": "decode+verify+PIP+tile",
-            "n_images": n_images,
+            "n_images": n_run,
             "sec_n": round(sec_n, 3),
             "sec_4n": round(sec_4n, 3),
             "images_per_sec_n": round(thr_n, 1),
