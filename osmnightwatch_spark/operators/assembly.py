@@ -1,36 +1,47 @@
 """Relation → polygon assembly (the reference's polygonizer recast).
 
 Reference semantics (NOT a port — re-derived from behavior):
-``Analyzers/AdminCountPerCountry/BuildPolygonFromRelation.cs:34-161``
+``Analyzers/AdminCountPerCountry/BuildPolygonFromRelation.cs:34-160``
 builds a MultiPolygon from a relation's member ways and yields a typed
-failure reason instead of a geometry when assembly fails; reason
-strings (:68-137) are reproduced verbatim so issue outputs diff
-cleanly against the reference's.
+failure reason instead of a geometry when assembly fails. Failure
+strings AND role semantics are the reference's, verbatim:
 
-Spark shape (SURVEY.md J1/A1/U2): the member gather is two bulk
-equi-joins (relation→way, way→node) — the reference's explicit
+* members whose role is neither ``outer``/``inner``/``""`` are
+  **ignored entirely** (the switch has no default arm, :41-65);
+* ``"Missing ways"`` (:68-70) — no way member with role
+  outer/inner/"" at all (``atLeastOneWay`` stays false);
+* ``"Member without role"`` (:73-75) — any member (any type) with an
+  empty role;
+* ``"No outer ways found"`` (:78-80) — empty-role ways do NOT count
+  as outer (case ``""`` :58-64 never adds to ``outerWays``);
+* ``"Some outer ways are unused."`` (:96-98, DeleteDangles) — an
+  outer way has a free end (endpoint degree 1);
+* ``"Some outer ways form cut edges."`` (:100-102, DeleteCutEdges) —
+  bridge ways between rings (the ring walk gets stuck);
+* ``"Some outer ways form invalid rings."`` (:105-107) — a stitched
+  ring has < 4 points, zero area, or self-intersects;
+* ``"Invalid polygon."`` (:111-113) — cross-ring invalidity (shells
+  cross each other);
+* ``"No valid polygon found."`` (:115-117) — nothing assembled;
+* ``"Inner ways have invalid ring lines."`` (:129-131);
+* ``"Inner ways have unused sections."`` (:134-136);
+* inner rings contained in no shell are **silently dropped**
+  (:139-150 only attaches contained holes).
+
+One deliberate divergence: a member way (or way node) absent from the
+snapshot surfaces in the reference as a raw exception message
+(:156-159, ``ex.Message``); this engine emits the typed reason
+``"Referenced way or node not found."`` instead — stable across
+runtimes, same failure class.
+
+Spark shape (SURVEY.md J1/A1/U2): the whole failure taxonomy above
+*except* ring geometry is computed natively (flag aggregation +
+anti-joins — no Python); the member gather is two bulk equi-joins
+(relation→way, way→node) — the reference's explicit
 ``Utils.BatchLoad`` anti-random-I/O batching (Utils.cs:62-84) is what
-joins *are* — followed by one ``applyInPandas`` per-relation ring
-stitch (numpy endpoint-hash chain walk). The only Python in the plan
-is the per-relation group kernel, which is O(ways in relation).
-
-Failure taxonomy (checked in this order, like the reference):
-
-1. ``Missing ways!``        — a member way is absent from the ways table
-                              (or a way references an absent node)
-2. ``Member without role!`` — way member whose role is neither
-                              outer/inner (empty counts as outer in the
-                              reference; explicit other roles fail)
-3. ``No outer ways!``       — no outer-role member ways
-4. ``Dangles!``             — an endpoint of the outer ring graph has
-                              odd degree (chain ends nowhere)
-5. ``Cut edges!``           — even degrees but a chain closes through
-                              an already-used junction (bridge edge)
-6. ``Invalid ring!``        — a stitched ring has < 4 points, zero
-                              area, or self-intersects (LinearRing
-                              validity)
-7. ``Invalid polygon!``     — cross-ring invalidity: shells overlap or
-                              a hole lies outside every shell
+joins *are* — and only relations that survive the native checks reach
+the one ``applyInPandas`` per-relation ring stitch (numpy
+endpoint-hash chain walk), O(ways in relation) Python per group.
 """
 
 from __future__ import annotations
@@ -43,33 +54,39 @@ from pyspark.sql import functions as F
 
 from ..functions import geometry as G
 
-MISSING_WAYS = "Missing ways!"
-MEMBER_WITHOUT_ROLE = "Member without role!"
-NO_OUTER_WAYS = "No outer ways!"
-DANGLES = "Dangles!"
-CUT_EDGES = "Cut edges!"
-INVALID_RING = "Invalid ring!"
-INVALID_POLYGON = "Invalid polygon!"
+MISSING_WAYS = "Missing ways"
+MEMBER_WITHOUT_ROLE = "Member without role"
+NO_OUTER_WAYS = "No outer ways found"
+OUTER_UNUSED = "Some outer ways are unused."
+OUTER_CUT_EDGES = "Some outer ways form cut edges."
+OUTER_INVALID_RINGS = "Some outer ways form invalid rings."
+INVALID_POLYGON = "Invalid polygon."
+NO_VALID_POLYGON = "No valid polygon found."
+INNER_INVALID_RINGS = "Inner ways have invalid ring lines."
+INNER_UNUSED = "Inner ways have unused sections."
+MISSING_REF = "Referenced way or node not found."  # engine-specific, see above
 
-OUT_SCHEMA = "relation_id long, geom_wkb binary, reason string"
+OUT_SCHEMA = ("relation_id long, geom_wkb binary, reason string,"
+              " n_rings int, n_pts long")
 
 
 def _stitch_rings(chains: list[np.ndarray]) -> tuple[list[np.ndarray] | None, str | None]:
     """Stitch way chains into closed rings by endpoint matching.
 
     Endpoints are matched on the snapped 1e-7 grid (reference fixed
-    precision model). Returns (rings, None) or (None, reason).
+    precision model). Returns (rings, None), (None, 'unused') when a
+    chain has a free end (the reference's dangle), or (None, 'cut')
+    when the walk strands a chain (the reference's cut edge).
     """
     key = lambda pt: (round(pt[0] * G.GRID), round(pt[1] * G.GRID))  # noqa: E731
-    # endpoint degree check
     degree: dict = {}
     for ch in chains:
         for pt in (ch[0], ch[-1]):
             degree[key(pt)] = degree.get(key(pt), 0) + 1
-    if any(d % 2 for d in degree.values()):
-        return None, DANGLES
+    # a free end anywhere → dangling way (reference fails on ANY dangle)
+    if any(d == 1 for d in degree.values()):
+        return None, "unused"
 
-    unused = list(range(len(chains)))
     by_end: dict = {}
     for i, ch in enumerate(chains):
         by_end.setdefault(key(ch[0]), []).append(i)
@@ -87,7 +104,7 @@ def _stitch_rings(chains: list[np.ndarray]) -> tuple[list[np.ndarray] | None, st
         while tail != head:
             nxt = next((j for j in by_end.get(tail, []) if j not in used), None)
             if nxt is None:
-                return None, CUT_EDGES
+                return None, "cut"
             used.add(nxt)
             ch = chains[nxt]
             if key(ch[0]) == tail:
@@ -100,27 +117,28 @@ def _stitch_rings(chains: list[np.ndarray]) -> tuple[list[np.ndarray] | None, st
         if not np.array_equal(pts[0], pts[-1]):
             pts = np.vstack([pts, pts[:1]])
         rings.append(pts)
-    _ = unused
     return rings, None
 
 
+def _ring_invalid(ring: np.ndarray) -> bool:
+    """NTS EdgeRing.IsValid analog: ≥4 points, nonzero area, simple."""
+    return (len(ring) < 4 or abs(G.polygon_area([ring])) == 0.0
+            or G.polyline_self_intersects(ring))
+
+
 def _assemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Geometry-only kernel: role/missing-ref taxonomy already handled
+    natively upstream — every group here has ≥1 outer way, no empty
+    roles, and all way/node references resolved."""
     rid = int(pdf["relation_id"].iloc[0])
 
     def fail(reason: str) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"relation_id": [rid], "geom_wkb": [None], "reason": [reason]}
-        )
+        return pd.DataFrame({"relation_id": [rid], "geom_wkb": [None],
+                             "reason": [reason], "n_rings": [None],
+                             "n_pts": [None]})
 
-    if pdf["way_missing"].any() or pdf["node_missing"].any():
-        return fail(MISSING_WAYS)
-    bad_role = ~pdf["role"].isin(["outer", "inner", ""])
-    if bad_role.any():
-        return fail(MEMBER_WITHOUT_ROLE)
-    outer = pdf[pdf["role"].isin(["outer", ""])]
+    outer = pdf[pdf["role"] == "outer"]
     inner = pdf[pdf["role"] == "inner"]
-    if len(outer) == 0:
-        return fail(NO_OUTER_WAYS)
 
     def chains_of(sub: pd.DataFrame) -> list[np.ndarray]:
         out = []
@@ -130,57 +148,100 @@ def _assemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
                 out.append(arr)
         return out
 
-    shells, reason = _stitch_rings(chains_of(outer))
-    if reason:
-        return fail(reason)
-    holes: list[np.ndarray] = []
-    if len(inner):
-        holes, reason = _stitch_rings(chains_of(inner))
-        if reason:
-            return fail(reason)
-
-    # ring-level validity (NTS LinearRing semantics): too short,
-    # degenerate area, or self-intersecting → "Invalid ring!"
-    for ring in (shells or []) + (holes or []):
-        if (len(ring) < 4 or abs(G.polygon_area([ring])) == 0.0
-                or G.polyline_self_intersects(ring)):
-            return fail(INVALID_RING)
-    # shells must not cross each other
+    shells, err = _stitch_rings(chains_of(outer))
+    if err:
+        return fail(OUTER_UNUSED if err == "unused" else OUTER_CUT_EDGES)
+    if any(_ring_invalid(s) for s in shells):
+        return fail(OUTER_INVALID_RINGS)
+    if not shells:
+        return fail(NO_VALID_POLYGON)
     for i in range(len(shells)):
         for j in range(i + 1, len(shells)):
             if G.segments_cross(shells[i], shells[j]):
                 return fail(INVALID_POLYGON)
 
-    # assign each hole to the shell containing its first vertex
+    holes: list[np.ndarray] = []
+    if len(inner):
+        holes, err = _stitch_rings(chains_of(inner))
+        if err:
+            return fail(INNER_UNUSED)
+        if any(_ring_invalid(h) for h in holes):
+            return fail(INNER_INVALID_RINGS)
+
+    # attach each hole to the shell containing its first vertex;
+    # holes contained in no shell are silently dropped (reference
+    # BuildPolygonFromRelation.cs:139-150 only adds contained inners)
     polys: list[list[np.ndarray]] = [[s] for s in shells]
+    placed: list[np.ndarray] = []
     for h in holes:
-        placed = False
         for p_i, s in enumerate(shells):
             if bool(G.points_in_edgesoup(h[:1, 0], h[:1, 1], G.EdgeSoup([[s]]))[0]):
                 polys[p_i].append(h)
-                placed = True
+                placed.append(h)
                 break
-        if not placed:
-            return fail(INVALID_POLYGON)
 
     wkb = G.polygons_to_wkb(polys)
-    return pd.DataFrame({"relation_id": [rid], "geom_wkb": [wkb], "reason": [None]})
+    n_rings = len(shells) + len(placed)
+    n_pts = int(sum(len(r) for r in shells) + sum(len(r) for r in placed))
+    return pd.DataFrame({"relation_id": [rid], "geom_wkb": [wkb],
+                         "reason": [None], "n_rings": [n_rings],
+                         "n_pts": [n_pts]})
+
+
+def _fail_frame(ids: DataFrame, reason) -> DataFrame:
+    """Native failure rows in OUT_SCHEMA shape (reason may be a Column)."""
+    reason_col = reason if not isinstance(reason, str) else F.lit(reason)
+    return ids.select(
+        "relation_id",
+        F.lit(None).cast("binary").alias("geom_wkb"),
+        reason_col.cast("string").alias("reason"),
+        F.lit(None).cast("int").alias("n_rings"),
+        F.lit(None).cast("long").alias("n_pts"),
+    )
 
 
 def assemble_polygons(relations: DataFrame, ways: DataFrame,
                       nodes: DataFrame) -> DataFrame:
-    """relations ⋈ ways ⋈ nodes → (relation_id, geom_wkb, reason).
+    """relations ⋈ ways ⋈ nodes → (relation_id, geom_wkb, reason,
+    n_rings, n_pts).
 
-    Two bulk equi-joins gather geometry; ``posexplode`` keeps vertex
-    order; one grouped-map kernel stitches rings per relation.
+    Role/membership taxonomy is decided by a native flag aggregation;
+    two bulk equi-joins gather geometry (``posexplode`` keeps vertex
+    order); missing way/node references fail natively; only clean
+    relations reach the grouped-map ring stitch.
     """
-    members = relations.select(
+    allm = relations.select(
         F.col("id").alias("relation_id"), F.explode("members").alias("m")
-    ).where(F.col("m.member_type") == "way").select(
+    ).select(
         "relation_id",
         F.col("m.member_id").alias("way_id"),
         F.coalesce(F.col("m.role"), F.lit("")).alias("role"),
+        F.col("m.member_type").alias("mtype"),
     )
+    is_way = F.col("mtype") == "way"
+    flags = allm.groupBy("relation_id").agg(
+        F.max((is_way & F.col("role").isin("outer", "inner", "")).cast("int"))
+        .alias("has_way"),
+        F.max((F.col("role") == "").cast("int")).alias("has_empty"),
+        F.max((is_way & (F.col("role") == "outer")).cast("int")).alias("has_outer"),
+    )
+    # reference check order: Missing ways → Member without role → No outer
+    fail_flags = flags.where(
+        (F.col("has_way") == 0) | (F.col("has_empty") == 1) | (F.col("has_outer") == 0)
+    )
+    native_fails = _fail_frame(
+        fail_flags,
+        F.when(F.col("has_way") == 0, MISSING_WAYS)
+        .when(F.col("has_empty") == 1, MEMBER_WITHOUT_ROLE)
+        .otherwise(NO_OUTER_WAYS),
+    )
+    eligible = flags.where(
+        (F.col("has_way") == 1) & (F.col("has_empty") == 0) & (F.col("has_outer") == 1)
+    ).select("relation_id")
+
+    members = allm.where(is_way & F.col("role").isin("outer", "inner")).join(
+        eligible, "relation_id", "left_semi"
+    ).select("relation_id", "way_id", "role")
     w = ways.select(F.col("id").alias("way_id"), F.col("nodes").alias("node_ids"))
     mw = members.join(w, "way_id", "left").withColumn(
         "way_missing", F.col("node_ids").isNull()
@@ -195,16 +256,6 @@ def assemble_polygons(relations: DataFrame, ways: DataFrame,
         "node_missing",
         F.col("node_id").isNotNull() & F.col("lon").isNull(),
     )
-    # relations with no way members at all must still emit a row
-    # ("No outer ways!"), not vanish from the output
-    no_way_members = relations.select(
-        F.col("id").alias("relation_id")
-    ).join(members.select("relation_id"), "relation_id", "left_anti").select(
-        "relation_id",
-        F.lit(None).cast("binary").alias("geom_wkb"),
-        F.lit(NO_OUTER_WAYS).alias("reason"),
-    )
-
     per_way = joined.groupBy("relation_id", "way_id", "role").agg(
         F.max(F.col("way_missing").cast("int")).cast("boolean").alias("way_missing"),
         F.max(F.col("node_missing").cast("int")).cast("boolean").alias("node_missing"),
@@ -216,7 +267,14 @@ def assemble_polygons(relations: DataFrame, ways: DataFrame,
         F.transform(F.col("pcoords"), lambda s: F.struct(s["lon"].alias("lon"),
                                                          s["lat"].alias("lat"))),
     ).drop("pcoords")
-    assembled = per_way.groupBy("relation_id").applyInPandas(
+
+    ref_missing = per_way.groupBy("relation_id").agg(
+        F.max((F.col("way_missing") | F.col("node_missing")).cast("int")).alias("bad")
+    ).where(F.col("bad") == 1).select("relation_id")
+    native_missing = _fail_frame(ref_missing, MISSING_REF)
+
+    clean = per_way.join(ref_missing, "relation_id", "left_anti")
+    assembled = clean.groupBy("relation_id").applyInPandas(
         _assemble_group, OUT_SCHEMA
     )
-    return assembled.unionByName(no_way_members)
+    return assembled.unionByName(native_fails).unionByName(native_missing)

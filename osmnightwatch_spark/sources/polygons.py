@@ -37,15 +37,16 @@ ADMIN_SCHEMA = T.StructType([
 ])
 
 # failure-reason strings reproduced verbatim from the reference
-# (BuildPolygonFromRelation.cs:70-137)
+# (BuildPolygonFromRelation.cs:70-117) — kept in sync with
+# operators/assembly.py, which documents the full taxonomy
 REASONS = [
-    "Missing ways!",
-    "Member without role!",
-    "No outer ways!",
-    "Dangles!",
-    "Cut edges!",
-    "Invalid ring!",
-    "Invalid polygon!",
+    "Missing ways",
+    "Member without role",
+    "No outer ways found",
+    "Some outer ways are unused.",
+    "Some outer ways form cut edges.",
+    "Some outer ways form invalid rings.",
+    "Invalid polygon.",
 ]
 
 

@@ -86,6 +86,7 @@ def test_incremental_delete_relation(spark, world):
     dirty = INC.dirty_relation_ids(keys, w2, r2)
     inc = INC.incremental_assemble(prev, n2, w2, r2, dirty).toPandas()
     full = assemble_polygons(r2, w2, n2).toPandas()
-    # 2000 deleted; 3000 (no way members) reports "No outer ways!"
+    # 2000 deleted; 3000 (no way members at all) reports "Missing ways"
+    # (reference checks atLeastOneWay before the role check)
     assert set(inc.relation_id) == set(full.relation_id) == {1000, 3000}
-    assert full.set_index("relation_id").loc[3000].reason == "No outer ways!"
+    assert full.set_index("relation_id").loc[3000].reason == "Missing ways"

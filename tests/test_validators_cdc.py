@@ -68,14 +68,15 @@ def osm(spark):
     ]
     relations = [
         (1000, [m(100, "outer"), m(101, "outer"), m(102, "inner")]),  # OK w/ hole
-        (1001, [m(999, "outer")]),                                    # missing way
-        (1002, [m(100, "weird_role")]),                               # bad role
+        (1001, [m(999, "outer")]),                                    # missing way ref
+        (1002, [m(100, "weird_role")]),   # role ignored → no way member at all
         (1003, [m(102, "inner")]),                                    # no outer
-        (1004, [m(110, "outer")]),                                    # dangles
+        (1004, [m(110, "outer")]),                                    # dangling outer
         (1005, [m(120, "outer")]),                                    # OK single way
-        (1006, [m(130, "outer")]),                                    # invalid polygon
+        (1006, [m(130, "outer")]),                                    # bowtie ring
         (1007, [m(140, "outer"), m(141, "outer")]),                   # zero-area ring
         (1008, [m(120, "outer"), m(150, "outer")]),                   # crossing shells
+        (1009, [m(100, "")]),                                         # empty role
     ]
     return (
         spark.createDataFrame(
@@ -91,14 +92,19 @@ def test_assembly_failure_taxonomy(spark, osm):
     assert out.loc[1000].reason is None
     polys = G.wkb_to_polygons(out.loc[1000].geom_wkb)
     assert len(polys) == 1 and len(polys[0]) == 2  # shell + hole
-    assert out.loc[1001].reason == A.MISSING_WAYS
-    assert out.loc[1002].reason == A.MEMBER_WITHOUT_ROLE
+    assert out.loc[1000].n_rings == 2 and out.loc[1000].n_pts == 10
+    assert out.loc[1001].reason == A.MISSING_REF
+    # reference semantics: unknown roles are ignored entirely, so 1002
+    # has no qualifying way member at all → "Missing ways"
+    assert out.loc[1002].reason == A.MISSING_WAYS
     assert out.loc[1003].reason == A.NO_OUTER_WAYS
-    assert out.loc[1004].reason == A.DANGLES
+    assert out.loc[1004].reason == A.OUTER_UNUSED
     assert out.loc[1005].reason is None
-    assert out.loc[1006].reason == A.INVALID_RING   # bowtie: ring self-intersects
-    assert out.loc[1007].reason == A.INVALID_RING   # zero-area ring
-    assert out.loc[1008].reason == A.INVALID_POLYGON  # shells cross
+    assert out.loc[1005].n_rings == 1 and out.loc[1005].n_pts == 5
+    assert out.loc[1006].reason == A.OUTER_INVALID_RINGS  # bowtie self-crosses
+    assert out.loc[1007].reason == A.OUTER_INVALID_RINGS  # zero-area ring
+    assert out.loc[1008].reason == A.INVALID_POLYGON      # shells cross
+    assert out.loc[1009].reason == A.MEMBER_WITHOUT_ROLE  # empty role fails
     # assembled geometry is PIP-queryable: point inside shell, outside hole
     wkb = out.loc[1000].geom_wkb
     assert bool(G.point_in_wkb(3.5, 3.5, wkb)[0])
@@ -109,10 +115,11 @@ def test_broken_polygon_issues(spark, osm):
     nodes, ways, relations = osm
     assembled = A.assemble_polygons(relations, ways, nodes)
     iss = IS.broken_polygon_issues(assembled).toPandas()
-    assert set(iss.osm_id) == {1001, 1002, 1003, 1004, 1006, 1007, 1008}
+    assert set(iss.osm_id) == {1001, 1002, 1003, 1004, 1006, 1007, 1008, 1009}
     assert set(iss.details) <= set([
-        A.MISSING_WAYS, A.MEMBER_WITHOUT_ROLE, A.NO_OUTER_WAYS, A.DANGLES,
-        A.CUT_EDGES, A.INVALID_RING, A.INVALID_POLYGON])
+        A.MISSING_WAYS, A.MEMBER_WITHOUT_ROLE, A.NO_OUTER_WAYS, A.OUTER_UNUSED,
+        A.OUTER_CUT_EDGES, A.OUTER_INVALID_RINGS, A.INVALID_POLYGON,
+        A.MISSING_REF])
 
 
 # ---------------------------------------------------------------------------
