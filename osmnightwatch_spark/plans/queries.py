@@ -39,6 +39,7 @@ from ..operators.pip_join import PreparedPolygons, pip_join
 from ..operators.tiling import tile_counts, tile_rollup
 from ..sources import images as I
 from ..sources import polygons as P
+from . import assembly_fixture as AF
 
 # ---------------------------------------------------------------------------
 # derived geotag for events (documented; integer arithmetic → exact in SQL)
@@ -822,41 +823,18 @@ SQL_important_features = (
 )
 
 
-def _osm_fixture(spark):
-    """Deterministic OSM-shaped fixture (the pytest taxonomy corpus)."""
-    from pyspark.sql import Row
-
-    def mem(mid, role):
-        return Row(member_id=mid, role=role, member_type="way")
-
-    nodes = [(1, 0.0, 0.0), (2, 4.0, 0.0), (3, 4.0, 4.0), (4, 0.0, 4.0),
-             (11, 1.0, 1.0), (12, 2.0, 1.0), (13, 2.0, 2.0), (14, 1.0, 2.0),
-             (21, 10.0, 0.0), (22, 14.0, 0.0), (23, 14.0, 4.0)]
-    ways = [(100, [1, 2, 3]), (101, [3, 4, 1]), (102, [11, 12, 13, 14, 11]),
-            (110, [21, 22, 23])]
-    rels = [(1000, [mem(100, "outer"), mem(101, "outer"), mem(102, "inner")]),
-            (1001, [mem(999, "outer")]), (1003, [mem(102, "inner")]),
-            (1004, [mem(110, "outer")])]
-    n = spark.createDataFrame([(i, lo, la, None) for i, lo, la in nodes],
-                              "id long, lon double, lat double, tags map<string,string>")
-    w = spark.createDataFrame([(i, ns, None) for i, ns in ways],
-                              "id long, nodes array<long>, tags map<string,string>")
-    r = spark.createDataFrame(
-        [(i, ms, None) for i, ms in rels],
-        "id long, members array<struct<member_id:long,role:string,member_type:string>>,"
-        " tags map<string,string>")
-    return n, w, r
-
-
 def q_polygon_assembly(spark, sf_dir):
-    """A1/A2/U2 — ring assembly with failure reasons (rows-only: the
-    stitch kernel is not SQL-expressible; pinned exactly in pytest)."""
+    """A1/A2/U2 — ring assembly over the shared taxonomy corpus
+    (``plans/assembly_fixture.py``). The DuckDB twin re-derives every
+    failure reason and the success-ring statistics from scratch
+    (degree parity, segment-orientation arithmetic, recursive-CTE
+    components) — the stitcher is pinned by an independent engine."""
     from ..operators.assembly import assemble_polygons
+    from . import assembly_fixture as AF
 
-    n, w, r = _osm_fixture(spark)
+    n, w, r = AF.spark_frames(spark)
     out = assemble_polygons(r, w, n)
-    return out.select("relation_id", "reason",
-                      F.length("geom_wkb").alias("wkb_bytes"))
+    return out.select("relation_id", "reason", "n_rings", "n_pts")
 
 
 def q_coastline_issues(spark, sf_dir):
@@ -986,7 +964,5 @@ ORACLES: dict[str, str] = {
     "important_features": SQL_important_features,
     "cdc_merge": SQL_cdc_merge,
     "admin_diff": SQL_admin_diff,
-    # polygon_assembly / coastline_issues / images_flagship: rows-only
-    # (ring stitching, curve predicates and pixel payloads are not
-    # SQL-expressible; pinned against pure-python oracles in pytest)
+    "polygon_assembly": AF.oracle_sql(),
 }
