@@ -34,7 +34,7 @@ def _harden(spark: SparkSession) -> None:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: images → geotag → PIP join → tile assign → rollup."""
     _harden(spark)
-    return Q.q_images_flagship(spark, "/root/testdata/sf0.001")
+    return Q.flagship_images(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

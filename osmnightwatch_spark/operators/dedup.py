@@ -23,7 +23,7 @@ exactly like salting caps hot cells in the spatial joins.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_SHINGLE = 8
@@ -91,11 +91,20 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text: str = "text",
     bucket. Returns (id_a, id_b, n_shared_bands), id_a < id_b.
 
     ``max_bucket`` drops degenerate buckets (boilerplate shingles
-    shared by everything) — the skew guard."""
+    shared by everything) — the skew guard. Bucket sizes come from a
+    partial-agg ``groupBy`` (the map side absorbs the hot key) and the
+    few over-cap buckets are removed with a *broadcast anti-join* — a
+    window over the bucket key would shuffle every signature row to
+    the hot bucket's single partition before the filter could drop it,
+    making the guard itself the bottleneck at 10^12 rows."""
     sig = minhash_bands(shingles(df, id_col, text, size, stride), id_col, bands)
-    sized = sig.withColumn(
-        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "min_h"))
-    ).where(F.col("bucket_n") <= max_bucket)
+    hot = (
+        sig.groupBy("band", "min_h")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .where(F.col("bucket_n") > max_bucket)
+        .select("band", "min_h")
+    )
+    sized = sig.join(F.broadcast(hot), ["band", "min_h"], "left_anti")
     a = sized.select(F.col(id_col).alias("id_a"), "band", "min_h")
     b = sized.select(F.col(id_col).alias("id_b"), "band", "min_h")
     return (
@@ -107,14 +116,31 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text: str = "text",
 
 
 def jaccard_topk(df: DataFrame, id_col: str, text: str = "text", k: int = 20,
-                 size: int = DEFAULT_SHINGLE, stride: int = DEFAULT_STRIDE) -> DataFrame:
+                 size: int = DEFAULT_SHINGLE, stride: int = DEFAULT_STRIDE,
+                 max_df: int = 10_000) -> DataFrame:
     """Top-k most-similar pairs by sampled-shingle Jaccard:
     (id_a, id_b, shared, jaccard_pct) — jaccard as integer percent so
-    the oracle compare never touches float formatting."""
+    the oracle compare never touches float formatting.
+
+    ``max_df`` is the hot-shingle cap: a shingle shared by m documents
+    fans out m² pairs, so boilerplate (license headers, templates)
+    would melt the self-join at 10^12 docs. Shingles above the cap are
+    dropped from the *pair join only* (denominator sizes keep the full
+    sets), same partial-agg + broadcast anti-join shape as the minhash
+    guard. Recall caveat: a pair whose every shared shingle is hot
+    scores 0 — acceptable for a similarity *ranking* because hot
+    shingles carry no discriminative signal by definition."""
     sh = shingles(df, id_col, text, size, stride)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_n"))
+        .where(F.col("df_n") > max_df)
+        .select("shingle")
+    )
+    cold = sh.join(F.broadcast(hot), ["shingle"], "left_anti")
+    a = cold.select(F.col(id_col).alias("id_a"), "shingle")
+    b = cold.select(F.col(id_col).alias("id_b"), "shingle")
     shared = (
         a.join(b, "shingle")
         .where(F.col("id_a") < F.col("id_b"))
@@ -158,6 +184,12 @@ def phash_near_dup_pairs(df: DataFrame, id_col: str = "image_id",
 
     Returns (id_a, id_b, hamming), id_a < id_b.
     """
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"pigeonhole guarantee needs max_hamming <= bands - 1; got "
+            f"max_hamming={max_hamming} with bands={bands} (recall would "
+            f"silently drop pairs differing in every band)"
+        )
     width = 64 // bands
     mask = (1 << width) - 1
     sliced = df.select(

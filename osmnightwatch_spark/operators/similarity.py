@@ -7,10 +7,20 @@ Two paths, as a 100 TB pipeline needs both:
   ``zip_with``+``aggregate`` dot product (JVM, codegen — no Python),
   per-probe top-k window. O(P×C) — the correctness baseline and the
   right tool when P is small.
-* ``lsh_topk`` — scale path: random-hyperplane LSH buckets both sides,
-  search within the probe's bucket only. Hyperplane weights are
-  *rational* pseudo-random numbers (integer arithmetic / 1000) so the
-  bucketing is bit-identical in the SQL oracle — no libm dependence.
+* ``lsh_topk`` — scale path: banded multi-table random-hyperplane LSH.
+  Each of ``tables`` hash tables buckets every vector by ``planes``
+  sign bits (disjoint plane sets per table); candidates are the union
+  of same-bucket pairs across tables, deduplicated before scoring.
+  More tables → higher recall; more planes → smaller buckets. At
+  10^12 rows the right setting is ``planes ≈ log2(n / target_bucket)``
+  (:func:`planes_for`) so bucket population stays ~constant as data
+  grows, plus ``max_bucket`` to drop degenerate hot buckets (the
+  all-zeros embedding, boilerplate) — computed with a partial-agg
+  groupBy and removed with a *broadcast anti-join* (hot buckets are
+  few by construction), never a window over the bucket key.
+  Hyperplane weights are *rational* pseudo-random numbers (integer
+  arithmetic / 1000) so the bucketing is bit-identical in the SQL
+  oracle — no libm dependence.
 
 All scores are computed in float64 after casting the float32 vector
 elements, with a sequential left-fold, so Spark and DuckDB agree to
@@ -19,10 +29,21 @@ the last bit (same op order).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 N_PLANES = 8
+
+
+def planes_for(n_rows: int, target_bucket: int = 256) -> int:
+    """Planes per table so expected bucket size ≈ ``target_bucket``:
+    2^planes buckets over n rows. The 10^12-row setting is ~32 planes —
+    bucket count scales WITH the data instead of a fixed 256."""
+    if n_rows <= target_bucket:
+        return 4
+    return max(4, math.ceil(math.log2(n_rows / target_bucket)))
 
 
 def _dot(a, b) -> F.Column:
@@ -79,46 +100,97 @@ def plane_weight(j: int, d: int) -> float:
     return ((j * 73856093 + d * 19349663) % 2001 - 1000) / 1000.0
 
 
-def lsh_bucket_col(vec: str, dims: int, planes: int = N_PLANES) -> F.Column:
-    """Bucket id: bit j = (w_j · v > 0). Native expression."""
+def lsh_bucket_col(vec: str, dims: int, planes: int = N_PLANES,
+                   offset: int = 0) -> F.Column:
+    """Bucket id: bit j = (w_{offset+j} · v > 0). Native expression.
+    ``offset`` selects a disjoint plane set per hash table."""
     bucket = F.lit(0)
     for j in range(planes):
         dot = None
         for d in range(dims):
-            w = plane_weight(j, d)
+            w = plane_weight(offset + j, d)
             term = F.element_at(F.col(vec), d + 1).cast("double") * F.lit(w)
             dot = term if dot is None else dot + term
         bucket = bucket + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return bucket.cast("long")
 
 
-def lsh_bucket_sql(vec: str, dims: int, planes: int = N_PLANES) -> str:
+def lsh_bucket_sql(vec: str, dims: int, planes: int = N_PLANES,
+                   offset: int = 0) -> str:
     """DuckDB twin of :func:`lsh_bucket_col` (same op order)."""
     parts = []
     for j in range(planes):
         terms = " + ".join(
-            f"CAST({vec}[{d + 1}] AS DOUBLE) * {plane_weight(j, d)!r}"
+            f"CAST({vec}[{d + 1}] AS DOUBLE) * {plane_weight(offset + j, d)!r}"
             for d in range(dims)
         )
         parts.append(f"CASE WHEN ({terms}) > 0 THEN {1 << j} ELSE 0 END")
     return "CAST(" + " + ".join(parts) + " AS BIGINT)"
 
 
+def _bucketed_tables(embeddings: DataFrame, vec: str, dims: int,
+                     planes: int, tables: int) -> DataFrame:
+    """One row per (input row, hash table): input columns + (_tbl, _bkt).
+
+    posexplode over the per-table bucket array — a narrow map-side
+    fan-out of ``tables`` (no shuffle, no Python).
+    """
+    buckets = F.array(*[
+        lsh_bucket_col(vec, dims, planes, offset=t * planes)
+        for t in range(tables)
+    ])
+    return embeddings.select(
+        "*", F.posexplode(buckets).alias("_tbl", "_bkt")
+    )
+
+
+def _drop_hot_buckets(bucketed: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Remove degenerate hot buckets (e.g. the all-zeros embedding,
+    boilerplate) from the candidate side. Partial-agg ``groupBy``
+    absorbs the hot key map-side; hot buckets are few by construction,
+    so shipping them back is a *broadcast anti-join* — never a window
+    over the bucket key (which would shuffle every row to the hot
+    bucket's single partition first)."""
+    if max_bucket is None:
+        return bucketed
+    hot = (
+        bucketed.groupBy("_tbl", "_bkt")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > max_bucket)
+        .select("_tbl", "_bkt")
+    )
+    return bucketed.join(F.broadcast(hot), ["_tbl", "_bkt"], "left_anti")
+
+
 def lsh_topk(embeddings: DataFrame, probe_pred, k: int, dims: int,
              id_col: str = "vec_id", vec: str = "embedding",
-             planes: int = N_PLANES) -> DataFrame:
-    """ANN top-k within the probe's LSH bucket (approximate: recall
-    bounded by bucket collisions). Same output shape as brute."""
-    bucketed = embeddings.withColumn("_bkt", lsh_bucket_col(vec, dims, planes))
+             planes: int = N_PLANES, tables: int = 1,
+             max_bucket: int | None = None) -> DataFrame:
+    """ANN top-k across ``tables`` LSH hash tables (approximate:
+    recall grows with tables, bucket size shrinks with planes). Same
+    output shape as brute. At scale pass ``planes=planes_for(n)``,
+    ``tables=2..8`` and a ``max_bucket`` cap: the per-bucket self-join
+    is then O(n · bucket) with bucket held constant — linear in n —
+    instead of O(n²/2^planes) with a fixed plane count."""
+    bucketed = _bucketed_tables(embeddings, vec, dims, planes, tables)
     probes = bucketed.where(probe_pred).select(
-        F.col(id_col).alias("probe_id"), F.col(vec).alias("emb_a"), "_bkt"
+        F.col(id_col).alias("probe_id"), F.col(vec).alias("emb_a"),
+        "_tbl", "_bkt",
     )
-    cands = bucketed.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec).alias("emb_b"), "_bkt"
+    cands = _drop_hot_buckets(bucketed, max_bucket).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec).alias("emb_b"),
+        "_tbl", "_bkt",
     )
-    scored = with_cosine(probes.join(cands, "_bkt")).where(
+    pairs = probes.join(cands, ["_tbl", "_bkt"]).where(
         F.col("probe_id") != F.col("neighbor_id")
     )
+    if tables > 1:
+        # a pair colliding in several tables must score once — dedup
+        # with a partial-agg groupBy (cheaper than distinct on arrays)
+        pairs = pairs.groupBy("probe_id", "neighbor_id").agg(
+            F.first("emb_a").alias("emb_a"), F.first("emb_b").alias("emb_b")
+        )
+    scored = with_cosine(pairs)
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -132,18 +204,26 @@ def lsh_topk(embeddings: DataFrame, probe_pred, k: int, dims: int,
 def embedding_near_dup_pairs(embeddings: DataFrame, dims: int,
                              threshold_pct: int = 99,
                              id_col: str = "vec_id", vec: str = "embedding",
-                             planes: int = N_PLANES) -> DataFrame:
+                             planes: int = N_PLANES, tables: int = 1,
+                             max_bucket: int | None = None) -> DataFrame:
     """Embedding-cosine near-dup pairs within LSH buckets:
-    (id_a, id_b) with cosine ≥ threshold_pct/100, id_a < id_b."""
-    bucketed = embeddings.withColumn("_bkt", lsh_bucket_col(vec, dims, planes))
-    a = bucketed.select(F.col(id_col).alias("id_a"), F.col(vec).alias("emb_a"), "_bkt")
-    b = bucketed.select(F.col(id_col).alias("id_b"), F.col(vec).alias("emb_b"), "_bkt")
-    return (
-        with_cosine(a.join(b, "_bkt"))
-        .where(
-            (F.col("id_a") < F.col("id_b"))
-            & (F.col("cosine") >= F.lit(threshold_pct) / F.lit(100.0))
+    (id_a, id_b) with cosine ≥ threshold_pct/100, id_a < id_b.
+    Multi-table + ``max_bucket`` scale controls as :func:`lsh_topk`."""
+    bucketed = _drop_hot_buckets(
+        _bucketed_tables(embeddings, vec, dims, planes, tables), max_bucket
+    )
+    a = bucketed.select(F.col(id_col).alias("id_a"), F.col(vec).alias("emb_a"),
+                        "_tbl", "_bkt")
+    b = bucketed.select(F.col(id_col).alias("id_b"), F.col(vec).alias("emb_b"),
+                        "_tbl", "_bkt")
+    pairs = a.join(b, ["_tbl", "_bkt"]).where(F.col("id_a") < F.col("id_b"))
+    if tables > 1:
+        pairs = pairs.groupBy("id_a", "id_b").agg(
+            F.first("emb_a").alias("emb_a"), F.first("emb_b").alias("emb_b")
         )
+    return (
+        with_cosine(pairs)
+        .where(F.col("cosine") >= F.lit(threshold_pct) / F.lit(100.0))
         .select("id_a", "id_b")
         .distinct()
     )

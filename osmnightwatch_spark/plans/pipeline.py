@@ -26,9 +26,11 @@ from ..sources import images as I
 from ..sources import polygons as P
 
 
-def flagship(images: DataFrame, tile_res: int = 8, cover_res: int = 7,
-             prepared: PreparedPolygons | None = None) -> DataFrame:
-    """images (input_hint shape) → (polygon_id, tile, n_images, n_distinct_phash).
+def flagship_points(pts: DataFrame, tile_res: int = 8, cover_res: int = 7,
+                    prepared: PreparedPolygons | None = None) -> DataFrame:
+    """Geotagged points (…, phash, lon, lat) → (polygon_id, tile,
+    n_images, n_distinct_phash): the PIP-join → tile-assign → rollup
+    trunk shared by the image pipeline and its SQL-oracle twin.
 
     Deterministic output ordering is left to the caller (sort is a
     presentation concern, not pipeline work).
@@ -37,7 +39,6 @@ def flagship(images: DataFrame, tile_res: int = 8, cover_res: int = 7,
         prepared = PreparedPolygons.build(
             P.valid_polygon_list(rect_only=True), res=cover_res
         )
-    pts = I.with_geo(images.select("image_id", "phash"))
     hits = pip_join(pts, prepared)
     tiled = C.attach_cell(hits, tile_res, out="tile")
     return (
@@ -47,6 +48,13 @@ def flagship(images: DataFrame, tile_res: int = 8, cover_res: int = 7,
             F.countDistinct("phash").alias("n_distinct_phash"),
         )
     )
+
+
+def flagship(images: DataFrame, tile_res: int = 8, cover_res: int = 7,
+             prepared: PreparedPolygons | None = None) -> DataFrame:
+    """images (input_hint shape) → flagship rollup (geotag from phash)."""
+    pts = I.with_geo(images.select("image_id", "phash"))
+    return flagship_points(pts, tile_res, cover_res, prepared)
 
 
 def flagship_checkpointed(spark, images_path: str, work_root: str,

@@ -17,9 +17,11 @@ order-insensitive value hashes, so:
 Spatial queries run over points *derived* from ``events`` by a
 documented integer-arithmetic geotag (below) — exactly reproducible
 in SQL — because the driver's DuckDB session only registers the
-TPC-H-ish tables. The image-table pipeline itself is correctness-
-checked in pytest (vs pure-python oracles) and registered here as a
-rows-only entry (no SQL twin).
+TPC-H-ish tables. Every entry, including the flagship trunk and the
+assembly/coastline validators (over embedded VALUES corpora), has a
+full SQL twin; the binary pixel payloads themselves are pinned in
+pytest (PSNR/caption/phash invariants) since bytes cannot exist in
+the DuckDB views.
 """
 
 from __future__ import annotations
@@ -40,6 +42,7 @@ from ..operators.tiling import tile_counts, tile_rollup
 from ..sources import images as I
 from ..sources import polygons as P
 from . import assembly_fixture as AF
+from . import coastline_fixture as CF
 
 # ---------------------------------------------------------------------------
 # derived geotag for events (documented; integer arithmetic → exact in SQL)
@@ -830,7 +833,6 @@ def q_polygon_assembly(spark, sf_dir):
     (degree parity, segment-orientation arithmetic, recursive-CTE
     components) — the stitcher is pinned by an independent engine."""
     from ..operators.assembly import assemble_polygons
-    from . import assembly_fixture as AF
 
     n, w, r = AF.spark_frames(spark)
     out = assemble_polygons(r, w, n)
@@ -838,44 +840,60 @@ def q_polygon_assembly(spark, sf_dir):
 
 
 def q_coastline_issues(spark, sf_dir):
-    """A4/C9/C10/J5 — coastline validators (rows-only; pytest-pinned)."""
-    from pyspark.sql import Row
-
+    """A4/C9/C10/J5 — coastline validators over the shared corpus
+    (``plans/coastline_fixture.py``). The DuckDB twin re-derives every
+    issue from the raw vertex table: signed degree sums, reversed
+    endpoint pairs, shoelace orientation, segment-orientation
+    arithmetic for self- and cross-way crossings."""
     from ..operators.coastline import all_coastline_issues
 
-    def v(*pts):
-        return [Row(lon=float(x), lat=float(y)) for x, y in pts]
-
-    rows = [
-        (1, 10, 10, v((0, 0), (2, 0), (2, 2), (0, 2), (0, 0))),
-        (2, 20, 20, v((5, 0), (5, 2), (7, 2), (7, 0), (5, 0))),
-        (3, 30, 31, v((10, 0), (12, 0))), (4, 31, 30, v((12, 0), (10, 0))),
-        (5, 40, 41, v((20, 0), (22, 0))),
-        (6, 50, 51, v((30, 0), (34, 4))), (7, 52, 53, v((30, 4), (34, 0))),
-        (8, 60, 61, v((40, 0), (44, 0), (44, 2), (42, -2))),
-    ]
-    ways = spark.createDataFrame(
-        rows,
-        "way_id long, first_node long, last_node long,"
-        " vertices array<struct<lon:double,lat:double>>")
-    return all_coastline_issues(ways)
+    return all_coastline_issues(CF.spark_frame(spark))
 
 
-# --- image pipeline (rows-only; pixels can't exist in the DuckDB views) ----
+# --- flagship pipeline ------------------------------------------------------
 
 _SF_N_IMAGES = 20_000  # images per unit sf-dir for the entry-scale run
+_PHASH_TWIN_MULT = 40503  # Knuth 16-bit constant; 1024 buckets → real dups
 
 
-def q_images_flagship(spark, sf_dir):
-    """The flagship image pipeline (geotag → PIP → tile → counts) over
-    a deterministically generated images table sized to the sf tier.
-    Rows-only check (binary pixels are not SQL-expressible); pixel /
-    caption / phash invariants are pinned in pytest."""
+def flagship_images(spark, sf_dir):
+    """The real flagship image pipeline (geotag from pixel phash → PIP
+    → tile → counts) over the deterministically generated images table
+    sized to the sf tier — the ``entry()`` / bench path. Pixel, caption
+    and phash invariants are pinned in pytest (test_codecs /
+    test_images_source); the relational trunk is oracle-checked via
+    ``q_images_flagship`` below."""
     sf = _sf_of(sf_dir)
     n = max(2000, int(_SF_N_IMAGES * sf * 100))
     from .pipeline import flagship
 
     return flagship(I.images_df(spark, n, seed=42))
+
+
+def q_images_flagship(spark, sf_dir):
+    """The flagship trunk (PIP-join → tile-assign → rollup,
+    ``plans/pipeline.flagship_points`` — the exact code path the image
+    pipeline runs) over events-derived geotags, so DuckDB can compute
+    an exact twin. The pixel-derived geotag source is swapped for the
+    documented events integer-arithmetic geotag and a multiplicative
+    phash stand-in; pixels themselves are pinned in pytest (PSNR≥40,
+    caption equality — BASELINE.json per-row invariant)."""
+    from .pipeline import flagship_points
+
+    pts = _events_geo(spark, sf_dir).select(
+        F.col("event_id").alias("image_id"),
+        ((F.col("event_id") * _PHASH_TWIN_MULT) % 1024).alias("phash"),
+        "lon", "lat",
+    )
+    return flagship_points(pts)
+
+
+SQL_images_flagship = (
+    f"SELECT polygon_id, {C.cell_sql('lon', 'lat', 8)} AS tile, "
+    "COUNT(*) AS n_images, "
+    f"COUNT(DISTINCT (event_id * {_PHASH_TWIN_MULT}) % 1024) AS n_distinct_phash "
+    "FROM (" + _rect_join_sql(_GEO_SQL) + ") GROUP BY 1, 2"
+)
 
 
 def _sf_of(sf_dir: str) -> float:
@@ -965,4 +983,6 @@ ORACLES: dict[str, str] = {
     "cdc_merge": SQL_cdc_merge,
     "admin_diff": SQL_admin_diff,
     "polygon_assembly": AF.oracle_sql(),
+    "coastline_issues": CF.oracle_sql(),
+    "images_flagship": SQL_images_flagship,
 }
