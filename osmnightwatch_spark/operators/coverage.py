@@ -55,25 +55,49 @@ def observed_coverage(points: DataFrame, prepared: PreparedPolygons,
 def geometric_coverage(spark: SparkSession, prepared: PreparedPolygons,
                        tile_res: int) -> DataFrame:
     """Per (tile, polygon): covered-area fraction from the covering
-    table only. Covering cells at res >= tile_res roll up to their
-    ancestor tile; each contributes area 4^-(res - tile_res) of the
-    tile (half for BOUNDARY cells)."""
-    cov = prepared.covering_df(spark)
-    cov = cov.withColumn("cres", F.expr("shiftrightunsigned(cell, 58)"))
-    cov = cov.where(F.col("cres") >= tile_res)  # coarser cells: not produced by build()
-    # parent by a per-row variable number of steps (pure bit arithmetic)
+    table only.
+
+    Covering cells at res >= tile_res roll up to their ancestor tile,
+    each contributing area 4^-(res - tile_res) (half for BOUNDARY).
+    Covering cells *coarser* than tile_res (quadtree coverings seed at
+    min_res, so large polygons produce them) expand to their 4^(tile_res
+    - cres) descendant tiles, each fully covered (weight 1.0, or 0.5
+    for a BOUNDARY cell's midpoint estimate). The expansion explode is
+    output-proportional — one row per covered tile, which is exactly
+    the result cardinality — so it cannot blow up beyond the answer
+    itself."""
     mask = (1 << 58) - 1
-    cov = cov.withColumn(
+    cov = prepared.covering_df(spark).withColumn(
+        "cres", F.expr("shiftrightunsigned(cell, 58)")
+    )
+    kind_w = F.when(F.col("kind") == F.lit(0), F.lit(1.0)).otherwise(F.lit(0.5))
+
+    fine = cov.where(F.col("cres") >= tile_res).withColumn(
         "tile",
         F.expr(
             f"CAST({tile_res} AS BIGINT) << 58 | "
             f"shiftrightunsigned(cell & {mask}, CAST((cres - {tile_res}) * 2 AS INT))"
         ),
+    ).select(
+        "tile", "polygon_id",
+        (F.pow(F.lit(4.0), -(F.col("cres") - F.lit(tile_res)).cast("double"))
+         * kind_w).alias("w"),
     )
-    weight = F.pow(F.lit(4.0), -(F.col("cres") - F.lit(tile_res)).cast("double")) * F.when(
-        F.col("kind") == F.lit(0), F.lit(1.0)
-    ).otherwise(F.lit(0.5))
+
+    coarse = cov.where(F.col("cres") < tile_res).withColumn(
+        "_n", F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(({tile_res} - cres) * 2 AS INT))")
+    ).withColumn(
+        "_i", F.explode(F.sequence(F.lit(0).cast("long"), F.col("_n") - 1))
+    ).withColumn(
+        "tile",
+        F.expr(
+            f"CAST({tile_res} AS BIGINT) << 58 | "
+            f"shiftleft(cell & {mask}, CAST(({tile_res} - cres) * 2 AS INT))"
+        ) + F.col("_i"),
+    ).select("tile", "polygon_id", kind_w.alias("w"))
+
     return (
-        cov.groupBy("tile", "polygon_id")
-        .agg(F.sum(weight).alias("covered_fraction"))
+        fine.unionByName(coarse)
+        .groupBy("tile", "polygon_id")
+        .agg(F.sum("w").alias("covered_fraction"))
     )

@@ -80,6 +80,58 @@ class PreparedPolygons:
         min_res = int((covering["cell"].to_numpy() >> 58).min()) if len(covering) else res
         return cls(covering=covering, edges=edges, res=res, min_res=min_res)
 
+    @classmethod
+    def build_distributed(cls, spark: SparkSession,
+                          polygons: list[tuple[int, bytes]], res: int = 7,
+                          max_cells: int = 4096) -> "PreparedPolygons":
+        """:meth:`build` with the covering computation fanned out over
+        executors.
+
+        The per-polygon quadtree recursion (``cover_polygon``) is the
+        expensive half of prepare — minutes of driver time for real
+        country polygons with 10^6 vertices — and embarrassingly
+        parallel, so it runs as ``mapInPandas`` over a (polygon_id,
+        wkb) DataFrame; only the (polygon_id, cell, kind) covering
+        table is collected back. The packed edge arrays are parsed
+        driver-side (one linear vectorized WKB scan; they must live on
+        the driver anyway to become the refine UDF's broadcast).
+        Reference analog: the prepared-geometry cache,
+        ``AdminCountPerCountryAnalyzer.cs:470-490``.
+        """
+        if not polygons:
+            return cls.build([], res=res, max_cells=max_cells)
+        src = spark.createDataFrame(
+            pd.DataFrame({
+                "polygon_id": [int(p) for p, _ in polygons],
+                "geom_wkb": [bytes(w) for _, w in polygons],
+            })
+        ).repartition(min(len(polygons), spark.sparkContext.defaultParallelism))
+
+        def gen(batches):
+            for b in batches:
+                for pid, wkb in zip(b["polygon_id"], b["geom_wkb"]):
+                    polys = G.wkb_to_polygons(bytes(wkb))
+                    ids, kinds = G.cover_polygon(polys, res=res,
+                                                 max_cells=max_cells)
+                    yield pd.DataFrame({
+                        "polygon_id": np.full(len(ids), int(pid), np.int64),
+                        "cell": ids,
+                        "kind": kinds.astype(np.int32),
+                    })
+
+        covering = (
+            src.mapInPandas(gen, "polygon_id long, cell long, kind int")
+            .toPandas()
+        )
+        covering["kind"] = covering["kind"].astype(np.int8)
+        edges = {}
+        for pid, wkb in polygons:
+            soup = G.EdgeSoup(G.wkb_to_polygons(wkb))
+            edges[int(pid)] = (soup.x1, soup.y1, soup.x2, soup.y2)
+        min_res = (int((covering["cell"].to_numpy() >> 58).min())
+                   if len(covering) else res)
+        return cls(covering=covering, edges=edges, res=res, min_res=min_res)
+
     def covering_df(self, spark: SparkSession) -> DataFrame:
         schema = T.StructType([
             T.StructField("polygon_id", T.LongType(), False),

@@ -108,9 +108,14 @@ def build_state(assembled: DataFrame, admin_meta: DataFrame,
     geoms = assembled.where(F.col("reason").isNull()).join(meta, "relation_id")
     countries = geoms.where(F.col("admin_level") == 2).select(
         "relation_id", "name", "geom_wkb").collect()
-    prepared = PreparedPolygons.build(
-        [(int(r.relation_id), bytes(r.geom_wkb)) for r in countries], res=cover_res
-    )
+    polys = [(int(r.relation_id), bytes(r.geom_wkb)) for r in countries]
+    # the covering recursion is the expensive half of prepare: keep the
+    # serial fast path for tiny sets, fan out on executors otherwise
+    if len(polys) > 32:
+        prepared = PreparedPolygons.build_distributed(
+            assembled.sparkSession, polys, res=cover_res)
+    else:
+        prepared = PreparedPolygons.build(polys, res=cover_res)
     names = {int(r.relation_id): r.name for r in countries}
     admins = geoms.where(F.col("admin_level") > 2).withColumn(
         "rp", _rep_point(F.col("geom_wkb"))

@@ -109,3 +109,47 @@ def test_geometric_coverage_approximates_area(spark):
         assert err <= bound + 1e-12
         errs.append(err)
     assert errs[1] < errs[0]  # finer covering → tighter estimate
+
+
+def test_geometric_coverage_expands_coarse_cells(spark):
+    """Covering cells coarser than tile_res expand into their
+    descendant tiles (ADVICE r01): a large aligned rect covered by
+    coarse FULL cells must still be fully counted at a finer tile_res, and
+    the total covered area must be identical at every tile_res."""
+    rect = [(1, P.rect_wkb(-180.0, -90.0, -135.0, -45.0))]
+    truth = 1 / 8 * 1 / 4
+    prep = PreparedPolygons.build(rect, res=7)
+    assert prep.min_res < 6  # the fixture really produces coarse cells
+    cov5 = geometric_coverage(spark, prep, tile_res=6).toPandas()
+    cov0 = geometric_coverage(spark, prep, tile_res=0).toPandas()
+    total5 = float((cov5.covered_fraction * 4.0 ** -6).sum())
+    total0 = float((cov0.covered_fraction * 4.0 ** -0).sum())
+    assert abs(total5 - total0) < 1e-12
+    bnd = prep.covering[prep.covering.kind == 1]
+    bound = 0.5 * sum(4.0 ** -(int(c) >> 58) for c in bnd.cell)
+    assert abs(total5 - truth) <= bound + 1e-12
+    assert (cov5.covered_fraction <= 1.0 + 1e-9).all()
+
+
+def test_build_distributed_matches_serial(spark):
+    """PreparedPolygons.build_distributed (executor-side covering
+    computation) is bit-identical to the serial driver build on a
+    polygon set large enough to exercise many partitions."""
+    rng = np.random.default_rng(5)
+    polys = []
+    for i in range(300):
+        x0 = float(rng.uniform(-179, 170))
+        y0 = float(rng.uniform(-84, 75))
+        polys.append((i, P.rect_wkb(x0, y0, x0 + rng.uniform(0.5, 8),
+                                    y0 + rng.uniform(0.5, 8))))
+    serial = PreparedPolygons.build(polys, res=6)
+    dist = PreparedPolygons.build_distributed(spark, polys, res=6)
+    key = ["polygon_id", "cell", "kind"]
+    a = serial.covering.sort_values(key).reset_index(drop=True)
+    b = dist.covering.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert serial.min_res == dist.min_res and serial.res == dist.res
+    assert set(serial.edges) == set(dist.edges)
+    for pid in (0, 137, 299):
+        for s, d in zip(serial.edges[pid], dist.edges[pid]):
+            np.testing.assert_array_equal(s, d)
