@@ -17,17 +17,20 @@ Exact in two rounds (the classic filter-and-refine kNN):
    top-k via ``row_number`` window.
 2. **Guarantee check** — a probe's result is provably exact iff its
    k-th distance ≤ its guaranteed radius (distance from the probe to
-   the edge of its 3×3 cell block: everything outside the block is
-   farther than that radius). Probes that fail (or found < k
-   candidates) re-run as a broadcast brute-force against all
-   candidates — at sane resolutions that residue is a tiny fraction,
-   so the expensive path is O(residue × candidates).
+   the edge of its (2r+1)×(2r+1) cell block: everything outside the
+   block is farther than that radius). Probes that fail (or found < k
+   candidates) re-run on an expanded ring (r=8); if that ring already
+   spans the whole grid the expansion is itself provably exact and no
+   brute pass exists in the plan. Only at fine resolutions does a
+   (provably tiny) final residue fall back to broadcast brute-force.
 
 Scale: round 1 shuffles candidates once by cell and probes ×9; the
 window partitions by probe_id (no hot key — each probe is its own
 group). Resolution choice trades candidate-list length (dense cells)
 against residue size (empty rings); pick res so expected cell
-occupancy ≈ a few × k.
+occupancy ≈ a few × k. Ring expansion bounds the worst case: an
+empty-neighborhood probe costs one extra (2r+1)²-cell explode, not a
+pass over every candidate.
 """
 
 from __future__ import annotations
@@ -43,13 +46,34 @@ from ..functions import cells as C
 
 
 @F.pandas_udf(T.ArrayType(T.LongType()))
-def _ring1_cells(cell: pd.Series) -> pd.Series:
-    ring = C.ring_neighbors(cell.to_numpy(dtype=np.int64), k=1)
-    return pd.Series([np.unique(r).tolist() for r in ring])
+def _ring_cells(cell: pd.Series, r: pd.Series) -> pd.Series:
+    """Chebyshev ring-r cell ids per probe cell — one vectorized
+    ``ring_neighbors`` call + a single C-level ``tolist`` (no per-row
+    Python); pole-clamp duplicates are removed JVM-side with
+    ``array_distinct`` by the caller."""
+    ring = C.ring_neighbors(cell.to_numpy(dtype=np.int64), k=int(r.iloc[0]))
+    return pd.Series(ring.tolist())
 
 
 def _dist2(plon, plat, clon, clat):
     return (plon - clon) * (plon - clon) + (plat - clat) * (plat - clat)
+
+
+def _block_guard(res: int, r: int):
+    """Distance from the probe to the edge of its (2r+1)×(2r+1) cell
+    block — everything outside the block is farther than this."""
+    n = float(1 << res)
+    cw, ch = 360.0 / n, 180.0 / n
+    gx = F.floor((F.col("_plon") + F.lit(180.0)) / F.lit(cw))
+    gy = F.floor((F.col("_plat") + F.lit(90.0)) / F.lit(ch))
+    bx0 = gx.cast("double") * cw - 180.0 - r * cw
+    bx1 = bx0 + (2 * r + 1) * cw
+    by0 = gy.cast("double") * ch - 90.0 - r * ch
+    by1 = by0 + (2 * r + 1) * ch
+    return F.least(
+        F.col("_plon") - bx0, bx1 - F.col("_plon"),
+        F.col("_plat") - by0, by1 - F.col("_plat"),
+    )
 
 
 def knn_join(probes: DataFrame, candidates: DataFrame, k: int, res: int = 6,
@@ -74,20 +98,38 @@ def knn_join(probes: DataFrame, candidates: DataFrame, k: int, res: int = 6,
         res, lon="_clon", lat="_clat", out="_ccell",
     )
 
-    pc = C.attach_cell(p, res, lon="_plon", lat="_plat", out="_pcell")
-    exploded = pc.withColumn(
-        "_ccell", F.explode(_ring1_cells(F.col("_pcell")))
-    ).drop("_pcell")
-
-    paired = exploded.join(c, "_ccell").where(F.col("_pid") != F.col("_cid"))
     d2 = _dist2(F.col("_plon"), F.col("_plat"), F.col("_clon"), F.col("_clat"))
     w = Window.partitionBy("_pid").orderBy(F.col("dist2").asc(), F.col("_cid").asc())
-    ranked = (
-        paired.withColumn("dist2", d2)
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )
 
+    def ring_topk(p_sub: DataFrame, r: int) -> DataFrame:
+        pc = C.attach_cell(p_sub, res, lon="_plon", lat="_plat", out="_pcell")
+        exploded = pc.withColumn(
+            "_ccell",
+            F.explode(F.array_distinct(_ring_cells(F.col("_pcell"), F.lit(r)))),
+        ).drop("_pcell")
+        paired = exploded.join(c, "_ccell").where(F.col("_pid") != F.col("_cid"))
+        return (
+            paired.withColumn("dist2", d2)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+        )
+
+    def exactness_split(ranked_r: DataFrame, p_sub: DataFrame, r: int):
+        """(provably-exact rows, probes needing a wider ring)."""
+        stats = ranked_r.groupBy("_pid").agg(
+            F.max(F.sqrt(F.col("dist2"))).alias("_kth"),
+            F.count(F.lit(1)).alias("_found"),
+            F.first("_plon").alias("_plon"), F.first("_plat").alias("_plat"),
+        )
+        ok = stats.where(
+            (F.col("_found") >= k) & (F.col("_kth") <= _block_guard(res, r))
+        ).select("_pid")
+        return (
+            ranked_r.join(ok, "_pid", "left_semi"),
+            p_sub.join(ok, "_pid", "left_anti"),
+        )
+
+    ranked = ring_topk(p, 1)
     if not exact:
         return ranked.select(
             F.col("_pid").alias(probe_id), F.col("_cid").alias(cand_id),
@@ -95,45 +137,46 @@ def knn_join(probes: DataFrame, candidates: DataFrame, k: int, res: int = 6,
         )
 
     # the exact path reuses `ranked` three times (stats, good, residue
-    # anti-join); persist the small top-k result instead of recomputing
-    # the candidate join per consumer
-    ranked = ranked.persist()
+    # anti-join); localCheckpoint instead of persist so the blocks are
+    # reference-tracked by the ContextCleaner and freed when the result
+    # is released — a CacheManager persist() would leak per invocation
+    ranked = ranked.localCheckpoint(eager=False)
+    good, residue = exactness_split(ranked, p, 1)
+    parts = [good]
 
-    # guaranteed radius: distance from probe to the edge of its 3x3 block
-    n = float(1 << res)
-    cw, ch = 360.0 / n, 180.0 / n
-    gx = F.floor((F.col("_plon") + F.lit(180.0)) / F.lit(cw))
-    gy = F.floor((F.col("_plat") + F.lit(90.0)) / F.lit(ch))
-    # block bounds [gx-1, gx+2) x [gy-1, gy+2) in degrees
-    bx0 = gx.cast("double") * cw - 180.0 - cw
-    bx1 = bx0 + 3 * cw
-    by0 = gy.cast("double") * ch - 90.0 - ch
-    by1 = by0 + 3 * ch
-    guard = F.least(
-        F.col("_plon") - bx0, bx1 - F.col("_plon"),
-        F.col("_plat") - by0, by1 - F.col("_plat"),
-    )
-    stats = ranked.groupBy("_pid").agg(
-        F.max(F.sqrt(F.col("dist2"))).alias("_kth"),
-        F.count(F.lit(1)).alias("_found"),
-        F.first("_plon").alias("_plon"), F.first("_plat").alias("_plat"),
-    )
-    ok = stats.where((F.col("_found") >= k) & (F.col("_kth") <= guard))
-    good = ranked.join(ok.select("_pid"), "_pid", "left_semi")
+    # ring expansion (SURVEY §7.2(c)): residue probes rerun at r=8. A
+    # residue probe means its 3×3 block held < k candidates or the
+    # k-th lay outside the guard — rerunning at ring-8 costs one 17²-
+    # cell explode per such probe, NOT a pass over all candidates.
+    # Chebyshev radius covering the whole grid: lon wraps after 2^(res-1)
+    # but lat only clamps, so full cover needs the complete y range
+    r_full = (1 << res) - 1
+    r2 = min(8, r_full)
+    ranked2 = ring_topk(residue, r2)
+    if r2 >= r_full:
+        # the expanded ring already spans the whole grid: provably
+        # exact by construction — no brute pass exists in the plan
+        parts.append(ranked2)
+    else:
+        ranked2 = ranked2.localCheckpoint(eager=False)
+        good2, residue2 = exactness_split(ranked2, residue, r2)
+        parts.append(good2)
+        # final residue: provably rare (k-th neighbor farther than 8
+        # cells → locally near-empty data); broadcast brute against
+        # all candidates bounds correctness, not the common cost
+        brute = (
+            F.broadcast(residue2)
+            .crossJoin(c.drop("_ccell"))
+            .where(F.col("_pid") != F.col("_cid"))
+            .withColumn("dist2", d2)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+        )
+        parts.append(brute)
 
-    # residue probes: brute-force (they are few by construction)
-    residue = p.join(ok.select("_pid"), "_pid", "left_anti")
-    brute = (
-        F.broadcast(residue)
-        .crossJoin(c.drop("_ccell"))
-        .where(F.col("_pid") != F.col("_cid"))
-        .withColumn("dist2", d2)
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )
-    out = good.select("_pid", "_cid", "dist2", "rank").unionByName(
-        brute.select("_pid", "_cid", "dist2", "rank")
-    )
+    out = parts[0].select("_pid", "_cid", "dist2", "rank")
+    for extra in parts[1:]:
+        out = out.unionByName(extra.select("_pid", "_cid", "dist2", "rank"))
     return out.select(
         F.col("_pid").alias(probe_id), F.col("_cid").alias(cand_id), "dist2", "rank"
     )

@@ -153,3 +153,28 @@ def test_build_distributed_matches_serial(spark):
     for pid in (0, 137, 299):
         for s, d in zip(serial.edges[pid], dist.edges[pid]):
             np.testing.assert_array_equal(s, d)
+
+
+def test_knn_empty_neighborhood_ring_expansion(spark):
+    """Probes whose 3×3 block is empty resolve via the ring-8
+    expansion; when the expanded ring spans the whole grid the plan is
+    provably exact with NO brute crossJoin node (VERDICT r01)."""
+    rng = np.random.default_rng(17)
+    # candidates clustered in one corner; probes far away in another
+    cands = spark.createDataFrame(pd.DataFrame({
+        "cand_id": np.arange(40),
+        "lon": rng.uniform(100, 110, 40),
+        "lat": rng.uniform(40, 50, 40),
+    }))
+    probes = spark.createDataFrame(pd.DataFrame({
+        "probe_id": np.arange(1000, 1005),
+        "lon": rng.uniform(-170, -160, 5),
+        "lat": rng.uniform(-80, -70, 5),
+    }))
+    out = knn_join(probes, cands, k=3, res=3)  # grid 8 → ring 8 covers it
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    got = out.toPandas().sort_values(["probe_id", "rank"]).reset_index(drop=True)
+    exp = knn_join_brute(probes, cands, k=3).toPandas().sort_values(
+        ["probe_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
