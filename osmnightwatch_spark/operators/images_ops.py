@@ -89,16 +89,19 @@ def extract_features(images: DataFrame) -> DataFrame:
         for pdf in batches:
             out = {k: [] for k in ("image_id", "mean_r", "mean_g", "mean_b",
                                    "luma_std", "thumb")}
-            for i in range(len(pdf)):
-                row = pdf.iloc[i]
-                img = K.decode(row["bytes"], row["fmt"], int(row["w"]), int(row["h"])).astype(np.float64)
+            # decode is inherently per-image (variable-size binaries);
+            # zip over column arrays avoids per-row .iloc overhead
+            for img_id, buf, fmt, w_, h_ in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"]
+            ):
+                img = K.decode(buf, fmt, int(w_), int(h_)).astype(np.float64)
                 means = img.mean(axis=(0, 1))
                 luma = img.mean(axis=2)
                 h, w = luma.shape
                 yi = (np.arange(4)[:, None] * h) // 4
                 xi = (np.arange(4)[None, :] * w) // 4
                 thumb = (luma[yi, xi] // 2).astype(np.int8).ravel().tolist()
-                out["image_id"].append(row["image_id"])
+                out["image_id"].append(img_id)
                 out["mean_r"].append(float(means[0]))
                 out["mean_g"].append(float(means[1]))
                 out["mean_b"].append(float(means[2]))

@@ -55,9 +55,16 @@ def salted_group_count(points: DataFrame, key: str, salt_buckets: int = 32,
     """Explicit two-phase (salted) aggregation for skewed keys:
     groupBy(key, salt) partial → groupBy(key) final. Used when the
     aggregate state per group is heavy enough that a single reducer
-    per hot key would bottleneck."""
+    per hot key would bottleneck.
+
+    The salt is a deterministic row hash (not ``rand``): task retries
+    re-derive the same salt, so a recomputed partition lands in the
+    same partial groups — same discipline as ``skew.salted_repartition``.
+    """
     salted = points.withColumn(
-        "_salt", (F.rand(seed=7) * salt_buckets).cast("int")
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in points.columns]),
+               F.lit(salt_buckets)).cast("int"),
     )
     partial = salted.groupBy(key, "_salt").agg(F.count(F.lit(1)).alias("_pn"))
     return partial.groupBy(key).agg(F.sum("_pn").alias(value_alias))

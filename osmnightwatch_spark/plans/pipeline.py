@@ -70,9 +70,11 @@ def flagship_checkpointed(spark, images_path: str, work_root: str,
     import os
 
     from ..operators.images_ops import decode_verify
-    from ..sources.catalog import fingerprint, run_stage
+    from ..sources.catalog import fingerprint, path_signature, run_stage
 
-    fp_input = fingerprint("images", images_path)
+    # path + content signature: regenerating the parquet at the same
+    # path invalidates every downstream stage (ADVICE r01)
+    fp_input = fingerprint("images", images_path, path_signature(images_path))
 
     def stage_verify():
         imgs = spark.read.parquet(images_path)

@@ -119,6 +119,26 @@ def fingerprint(*parts) -> str:
     return hashlib.sha256(json.dumps(parts, sort_keys=True).encode()).hexdigest()[:16]
 
 
+def path_signature(path: str) -> list:
+    """Content signature of a data directory: sorted (name, size,
+    mtime_ns) of its data files. Cheap (listing only, no reads) but
+    changes whenever the data at the path is regenerated — include it
+    in a stage ``fingerprint`` so a resumed run never serves a stale
+    snapshot built from different bytes at the same path."""
+    import os
+
+    sig = []
+    for root, _dirs, files in os.walk(path):
+        for f in sorted(files):
+            if f.startswith(("_", ".")):
+                continue
+            st = os.stat(os.path.join(root, f))
+            sig.append((os.path.relpath(os.path.join(root, f), path),
+                        st.st_size, st.st_mtime_ns))
+    sig.sort()
+    return sig
+
+
 def run_stage(spark: SparkSession, table_root: str, stage: str,
               inputs_fp: str, build: "callable") -> DataFrame:
     """Resumable stage: skip if a committed snapshot already carries
