@@ -870,6 +870,36 @@ def flagship_images(spark, sf_dir):
     return flagship(I.images_df(spark, n, seed=42))
 
 
+_CORPUS = "/root/reference/ExpectedStateOfAdmins"
+
+
+def q_expected_admins_corpus(spark, sf_dir):
+    """S14 golden corpus — the reference's real 235-country expected
+    state (``ExpectedStateOfAdmins/*.json``, schema ``Latvia.json`` /
+    ``Country.cs:7-31``) loaded through the engine's source + flatten
+    path. The DuckDB twin parses the same files with its own JSON
+    reader — a fully independent decode of the reference's only
+    continuously-executed correctness pin."""
+    from ..sources.expected_state import normalize_expected, read_expected_state
+
+    return normalize_expected(read_expected_state(spark, _CORPUS))
+
+
+SQL_expected_admins_corpus = f"""
+SELECT CAST(RelationId AS BIGINT) AS country_id,
+       EnglishName AS country_name,
+       CAST(e.key AS INT) AS admin_level,
+       CAST(a.a AS BIGINT) AS admin_id
+FROM (
+  SELECT RelationId, EnglishName, unnest(map_entries(Admins)) AS e
+  FROM read_json('{_CORPUS}/*.json',
+                 columns={{'RelationId':'BIGINT','EnglishName':'VARCHAR',
+                           'Iso2':'VARCHAR','Iso3':'VARCHAR',
+                           'Admins':'MAP(VARCHAR, BIGINT[])'}})
+), unnest(e.value) AS a(a)
+""".strip()
+
+
 def q_images_flagship(spark, sf_dir):
     """The flagship trunk (PIP-join → tile-assign → rollup,
     ``plans/pipeline.flagship_points`` — the exact code path the image
@@ -945,6 +975,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "polygon_assembly": q_polygon_assembly,
     "coastline_issues": q_coastline_issues,
     "images_flagship": q_images_flagship,
+    "expected_admins_corpus": q_expected_admins_corpus,
 }
 
 ORACLES: dict[str, str] = {
@@ -985,4 +1016,5 @@ ORACLES: dict[str, str] = {
     "polygon_assembly": AF.oracle_sql(),
     "coastline_issues": CF.oracle_sql(),
     "images_flagship": SQL_images_flagship,
+    "expected_admins_corpus": SQL_expected_admins_corpus,
 }

@@ -24,9 +24,18 @@ EXPECTED_SCHEMA = T.StructType([
 ])
 
 
-def read_expected_state(spark: SparkSession, path: str) -> DataFrame:
-    """JSON dir/file → nested golden table (one row per country)."""
-    return spark.read.schema(EXPECTED_SCHEMA).json(path)
+def read_expected_state(spark: SparkSession, path: str,
+                        multiline: bool = True) -> DataFrame:
+    """JSON dir/file → nested golden table (one row per country).
+
+    The reference corpus is one pretty-printed JSON object per country
+    file (``Latvia.json``), hence ``multiLine`` by default; pass
+    ``multiline=False`` for JSON-lines inputs."""
+    return (
+        spark.read.schema(EXPECTED_SCHEMA)
+        .option("multiLine", "true" if multiline else "false")
+        .json(path)
+    )
 
 
 def normalize_expected(expected: DataFrame) -> DataFrame:

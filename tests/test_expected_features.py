@@ -2,6 +2,9 @@
 incremental crossing join."""
 
 import json
+import os
+
+import pytest
 
 import pandas as pd
 from pyspark.sql import functions as F
@@ -26,9 +29,10 @@ def test_expected_state_json_roundtrip(spark, tmp_path):
         {"RelationId": 200, "EnglishName": "Beta", "Iso2": "BB", "Iso3": "BBB",
          "Admins": {"4": [31]}},
     ]
-    p = tmp_path / "expected.json"
-    p.write_text("\n".join(json.dumps(d) for d in docs))
-    nested = read_expected_state(spark, str(p))
+    # one pretty-printed object per file, like the reference corpus
+    for d in docs:
+        (tmp_path / f"{d['EnglishName']}.json").write_text(json.dumps(d, indent=2))
+    nested = read_expected_state(spark, str(tmp_path))
     assert nested.count() == 2
     flat = normalize_expected(nested).toPandas()
     assert len(flat) == 4
@@ -77,3 +81,55 @@ def test_crossing_incremental_subset(spark):
     changed = spark.createDataFrame(pd.DataFrame({"id": [1]}))
     inc = crossing_issues_incremental(ways, changed).toPandas()
     assert set(inc.osm_id) == {1, 2}
+
+
+# ---------------------------------------------------------------------------
+# golden corpus: the reference's real 235-country expected state
+# ---------------------------------------------------------------------------
+
+CORPUS = "/root/reference/ExpectedStateOfAdmins"
+
+
+@pytest.mark.skipif(not os.path.isdir(CORPUS), reason="reference corpus absent")
+def test_golden_corpus_loads_all_235(spark):
+    """Every file in ExpectedStateOfAdmins parses through the S14
+    source; spot values pinned against the raw JSON (Latvia.json)."""
+    nested = read_expected_state(spark, CORPUS)
+    rows = nested.collect()
+    assert len(rows) == len(os.listdir(CORPUS)) == 235
+    assert all(r.RelationId is not None for r in rows)
+    flat = normalize_expected(nested)
+    lv = flat.where("country_id = 72594").toPandas()
+    assert set(lv.admin_level) == {5} and len(lv) == 42
+    assert 1797378 in set(lv.admin_id)
+    assert lv.country_name.iloc[0] == "Latvia"
+
+
+@pytest.mark.skipif(not os.path.isdir(CORPUS), reason="reference corpus absent")
+def test_golden_corpus_admin_diff_end_to_end(spark):
+    """admin_diff over the real corpus vs an independent pandas diff:
+    perturb the actual state deterministically (drop every 7th admin,
+    inject a synthetic gained admin per country%11) and check the
+    issue sets match exactly."""
+    from osmnightwatch_spark.operators.issues import admin_diff_issues
+
+    expected = normalize_expected(read_expected_state(spark, CORPUS))
+    exp_pdf = expected.toPandas()
+
+    actual_pdf = exp_pdf[exp_pdf.admin_id % 7 != 0][
+        ["country_id", "admin_level", "admin_id"]].copy()
+    gained = exp_pdf[["country_id", "admin_level"]].drop_duplicates()
+    gained = gained[gained.country_id % 11 == 0].copy()
+    gained["admin_id"] = gained.country_id * 1000 + gained.admin_level
+    actual_pdf = pd.concat([actual_pdf, gained], ignore_index=True)
+
+    actual = spark.createDataFrame(actual_pdf)
+    issues = admin_diff_issues(expected, actual).toPandas()
+
+    lost = exp_pdf[exp_pdf.admin_id % 7 == 0]
+    got_lost = issues[issues.issue_type.str.startswith("LostAdmin")]
+    assert set(got_lost.osm_id) == set(lost.admin_id)
+    got_gained = issues[issues.issue_type.str.startswith("GainedAdmin")]
+    assert set(got_gained.osm_id) == set(gained.admin_id)
+    # no country disappears entirely in this perturbation
+    assert not (issues.issue_type == "MissingCountry").any()
