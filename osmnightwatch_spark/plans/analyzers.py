@@ -64,6 +64,41 @@ class Registry:
         return carry_first_seen(issues, old_issues, batch_ts)
 
 
+def names_issues(entities: dict) -> DataFrame:
+    """NamesAnalyzer parity (``Analyzers/NamesAnalyzer/NamesAnalyzer.cs:
+    18-34``): entities carrying a ``name`` tag whose value is ``"*"``
+    → "Invalid characters". Not registered in the reference's own
+    analyzer array (Program.cs:42-46) so not in :func:`default_registry`
+    either; provided for U3 per-row-validator surface completeness —
+    pure native expressions, filter is pushdown-friendly."""
+    outs = []
+    for kind, code in (("nodes", "N"), ("ways", "W"), ("relations", "R")):
+        if kind not in entities:
+            continue
+        df = entities[kind]
+        named = df.where(F.map_contains_key(F.col("tags"), F.lit("name")))
+        bad = named.where(F.element_at(F.col("tags"), F.lit("name")) == "*")
+        outs.append(bad.select(
+            F.lit("Invalid characters").alias("issue_type"),
+            F.lit(code).alias("osm_type"),
+            F.col("id").cast("long").alias("osm_id"),
+            F.element_at(F.col("tags"), F.lit("name")).alias("details"),
+        ))
+    issues = outs[0]
+    for o in outs[1:]:
+        issues = issues.unionByName(o)
+    return issues
+
+
+def names_analyzer() -> Analyzer:
+    return Analyzer(
+        name="NamesAnalyzer",
+        relevant=lambda e: e["nodes"].where(
+            F.map_contains_key(F.col("tags"), F.lit("name"))),
+        analyze=names_issues,
+    )
+
+
 def default_registry() -> Registry:
     """The reference's two flagship analyzers, pre-wired."""
     from ..operators.coastline import all_coastline_issues
