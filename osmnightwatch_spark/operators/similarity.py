@@ -263,3 +263,99 @@ def embedding_near_dup_pairs(embeddings: DataFrame, dims: int,
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer alternative to LSH
+# ---------------------------------------------------------------------------
+
+
+def kmeans_centroids(embeddings: DataFrame, dims: int, k_centroids: int,
+                     id_col: str = "vec_id", vec: str = "embedding",
+                     sample_n: int = 20_000, iters: int = 10,
+                     seed: int = 1):
+    """Coarse quantizer training: Lloyd iterations on a deterministic
+    driver-side sample (numpy). At 10^12 rows the trainer still sees
+    only ``sample_n`` vectors — the standard IVF recipe (train on a
+    sample, assign everything) — so this is NOT a driver bottleneck;
+    assignment below is the distributed part. Returns (k, dims) float64.
+    """
+    import numpy as np
+
+    # deterministic sample: hash-ordered ids, no rand() (retry-safe)
+    pdf = (
+        embeddings.select(F.col(vec).alias("v"),
+                          F.xxhash64(F.col(id_col)).alias("_h"))
+        .orderBy("_h").limit(sample_n).toPandas()
+    )
+    X = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(k_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        sims = X @ C.T
+        assign = sims.argmax(axis=1)
+        for j in range(len(C)):
+            m = assign == j
+            if m.any():
+                c = X[m].mean(axis=0)
+                C[j] = c / max(float(np.linalg.norm(c)), 1e-12)
+    return C
+
+
+def _ivf_assign_udf(centroids, nprobe: int):
+    """(vector) -> array of the nprobe nearest centroid ids (by cosine
+    against the normalized centroids) — one Arrow matmul per batch."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("array<int>")
+    def assign(v):
+        import numpy as np
+        import pandas as pd
+
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        M = np.stack(v.to_numpy()).astype(np.float64)
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        sims = M @ C.T
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(top.astype(np.int32).tolist())
+
+    return assign
+
+
+def ivf_topk(embeddings: DataFrame, probe_pred, k: int, dims: int,
+             centroids, nprobe: int = 4,
+             id_col: str = "vec_id", vec: str = "embedding") -> DataFrame:
+    """IVF ANN top-k: candidates live in their single nearest cell
+    (the inverted file); probes search their ``nprobe`` nearest cells.
+    Same output shape as :func:`lsh_topk`/brute.
+
+    Scale shape: per-cell population ≈ n / k_centroids, so pick
+    k_centroids ∝ n (like :func:`planes_for`) and the probe-side join
+    is O(probes × nprobe × cell) — linear in n at fixed cell size.
+    Exactly one shuffle of the candidate side (the cell equi-join).
+    """
+    cand_cell = _ivf_assign_udf(centroids, 1)
+    probe_cell = _ivf_assign_udf(centroids, nprobe)
+    cands = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec).alias("emb_b"),
+        F.element_at(cand_cell(F.col(vec)), 1).alias("_cell"),
+    )
+    probes = embeddings.where(probe_pred).select(
+        F.col(id_col).alias("probe_id"), F.col(vec).alias("emb_a"),
+        F.explode(probe_cell(F.col(vec))).alias("_cell"),
+    )
+    scored = with_cosine(probes.join(cands, "_cell")).where(
+        F.col("probe_id") != F.col("neighbor_id")
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "rank")
+    )

@@ -233,3 +233,19 @@ def test_jaccard_hot_shingle_cap(spark):
     # the boilerplate shingle (df=32 > 10) can no longer pair unrelated
     # docs; the genuinely-similar pair still surfaces on its own shingles
     assert (100, 101) in set(map(tuple, capped[["id_a", "id_b"]].to_numpy()))
+
+
+def test_ivf_topk_recall(spark, emb_clustered):
+    """IVF coarse-quantizer ANN: nprobe=4 over 16 trained cells must
+    recover >=80% of true top-3 on tight clusters, deterministically."""
+    df, _ = emb_clustered
+    C = S.kmeans_centroids(df, dims=16, k_centroids=16, sample_n=240, iters=8)
+    probe = F.col("vec_id") % 4 == 0
+    truth = S.cosine_topk_brute(df, probe, k=3).toPandas()
+    got = S.ivf_topk(df, probe, k=3, dims=16, centroids=C, nprobe=4).toPandas()
+    t = set(map(tuple, truth[["probe_id", "neighbor_id"]].to_numpy()))
+    g = set(map(tuple, got[["probe_id", "neighbor_id"]].to_numpy()))
+    assert len(t & g) / len(t) >= 0.8
+    # determinism: retraining yields identical centroids
+    C2 = S.kmeans_centroids(df, dims=16, k_centroids=16, sample_n=240, iters=8)
+    np.testing.assert_array_equal(C, C2)
