@@ -24,8 +24,10 @@ def test_entry_smoke(spark):
 def test_oracle_keys_subset():
     qs, os_ = E.queries(), E.oracle_sql()
     assert set(os_) <= set(qs)
-    # everything except the image pipeline has a SQL twin
-    assert set(qs) - set(os_) == {"images_flagship", "polygon_assembly", "coastline_issues"}
+    # round 2: EVERY query has a SQL twin (assembly/coastline via
+    # embedded VALUES corpora, the flagship via events geotags, the
+    # golden corpus via DuckDB's own JSON reader)
+    assert set(qs) == set(os_)
 
 
 @pytest.mark.parametrize("name", FAST)
