@@ -190,7 +190,8 @@ def main() -> None:
             geo().where(F.crc32(F.col("image_id")) % 1000 == 0)
             .withColumnRenamed("image_id", "probe_id"),
             geo().withColumnRenamed("image_id", "cand_id"),
-            k=5, res=4,  # occupancy ≈ a few × k per ring at sf0.1 density
+            k=5, res=6,  # ~50 cands/cell at sf0.1 → ring occupancy a few × k
+                         # (res=4 was 780/cell: 40× more candidate pairs)
         ).count(),
     )
     timed(

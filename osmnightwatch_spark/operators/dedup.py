@@ -98,6 +98,13 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text: str = "text",
     the hot bucket's single partition before the filter could drop it,
     making the guard itself the bottleneck at 10^12 rows."""
     sig = minhash_bands(shingles(df, id_col, text, size, stride), id_col, bands)
+    # the signature table feeds both the bucket-size stats and the
+    # pair join; materialize it once (shingle explode + md5 is the
+    # expensive half) — lazy localCheckpoint so the blocks are
+    # ContextCleaner-tracked, not a leaked CacheManager entry. At
+    # 10^12 docs this materialization is the standard shape anyway:
+    # signatures are the reusable artifact of a minhash pipeline.
+    sig = sig.localCheckpoint(eager=False)
     hot = (
         sig.groupBy("band", "min_h")
         .agg(F.count(F.lit(1)).alias("bucket_n"))

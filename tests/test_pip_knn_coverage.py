@@ -171,9 +171,11 @@ def test_knn_empty_neighborhood_ring_expansion(spark):
         "lon": rng.uniform(-170, -160, 5),
         "lat": rng.uniform(-80, -70, 5),
     }))
-    out = knn_join(probes, cands, k=3, res=3)  # grid 8 → ring 8 covers it
-    plan = out._jdf.queryExecution().executedPlan().toString()
+    # materialize=False exposes the lazy plan for inspection
+    lazy = knn_join(probes, cands, k=3, res=3, materialize=False)
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    out = knn_join(probes, cands, k=3, res=3)  # grid 8 → ring 8 covers it
     got = out.toPandas().sort_values(["probe_id", "rank"]).reset_index(drop=True)
     exp = knn_join_brute(probes, cands, k=3).toPandas().sort_values(
         ["probe_id", "rank"]).reset_index(drop=True)
