@@ -205,6 +205,18 @@ def main() -> None:
         "cosine_topk",
         lambda: cosine_topk_brute(emb, F.col("vec_id") % 50 == 0, k=5).count(),
     )
+    from osmnightwatch_spark.operators.similarity import lsh_topk, planes_for
+
+    n_emb = emb.count()
+    dims = len(emb.select("embedding").head()[0])
+    timed(
+        "ann_lsh_scaled",
+        lambda: lsh_topk(
+            emb, F.col("vec_id") % 50 == 0, k=5, dims=dims,
+            planes=planes_for(n_emb, target_bucket=64), tables=2,
+            max_bucket=50 * 64,
+        ).count(),
+    )
     spark.stop()
 
     result = {
