@@ -67,15 +67,48 @@ class Table:
             raise FileNotFoundError(f"no snapshot in {self.root}")
         return spark.read.parquet(*[os.path.join(self.root, f["path"]) for f in m["files"]])
 
+    def read_changes(self, spark: SparkSession, from_snapshot: int,
+                     to_snapshot: int | None = None) -> DataFrame:
+        """Incremental (changelog) read: rows in data files that are
+        part of ``to_snapshot`` but not of ``from_snapshot`` — the
+        Iceberg incremental-scan analog, and the snapshot-range read
+        the replication catch-up ladder rides (a consumer far behind
+        reads the net-new files of a whole range in one scan instead
+        of replaying per-snapshot). ``from_snapshot=0`` means
+        everything up to ``to_snapshot``."""
+        to_m = self.manifest(to_snapshot)
+        if to_m is None:
+            raise FileNotFoundError(f"no snapshot in {self.root}")
+        old_files: set[str] = set()
+        if from_snapshot > 0:
+            from_m = self.manifest(from_snapshot)
+            if from_m is not None:
+                old_files = {f["path"] for f in from_m["files"]}
+        new = [f["path"] for f in to_m["files"] if f["path"] not in old_files]
+        if not new:
+            return self.read(spark, to_snapshot).limit(0)
+        return spark.read.parquet(
+            *[os.path.join(self.root, p) for p in new])
+
     # -- write side ---------------------------------------------------------
 
-    def commit(self, df: DataFrame, lineage: dict | None = None) -> int:
-        """Write df as a new snapshot; atomic pointer swap; returns id."""
+    def commit(self, df: DataFrame, lineage: dict | None = None,
+               append: bool = False) -> int:
+        """Write df as a new snapshot; atomic pointer swap; returns id.
+
+        ``append=True`` makes an Iceberg-style append commit: the new
+        manifest lists the previous snapshot's files PLUS the new data
+        files (no rewrite), which is what makes
+        :meth:`read_changes` a true incremental scan."""
         snap = (self.current_snapshot() or 0) + 1
         rel_dir = os.path.join("data", f"snap-{snap}-{uuid.uuid4().hex[:8]}")
         out_dir = os.path.join(self.root, rel_dir)
         df.write.mode("errorifexists").parquet(out_dir)
         files = []
+        if append:
+            prev = self.manifest()
+            if prev is not None:
+                files.extend(prev["files"])
         for fn in sorted(os.listdir(out_dir)):
             if not fn.endswith(".parquet"):
                 continue

@@ -344,3 +344,28 @@ def test_flagship_checkpointed_resume(spark, tmp_path):
         .sort_values(key).reset_index(drop=True)
     assert a[["polygon_id", "tile", "n_images"]].equals(
         direct[["polygon_id", "tile", "n_images"]])
+
+
+def test_catalog_append_and_changelog_read(spark, tmp_path):
+    """Append commits list previous files + new files (no rewrite);
+    read_changes returns exactly the rows added in a snapshot range."""
+    from osmnightwatch_spark.sources.catalog import Table
+
+    t = Table(str(tmp_path / "tbl"))
+    s1 = t.commit(spark.range(0, 5).selectExpr("id", "id * 10 AS v"))
+    s2 = t.commit(spark.range(5, 8).selectExpr("id", "id * 10 AS v"),
+                  append=True)
+    s3 = t.commit(spark.range(8, 9).selectExpr("id", "id * 10 AS v"),
+                  append=True)
+    assert (s1, s2, s3) == (1, 2, 3)
+    # full read at head sees everything
+    assert sorted(r.id for r in t.read(spark).collect()) == list(range(9))
+    # time travel
+    assert sorted(r.id for r in t.read(spark, snapshot=1).collect()) == list(range(5))
+    # changelog: net-new rows of (1, 3]
+    delta = sorted(r.id for r in t.read_changes(spark, 1, 3).collect())
+    assert delta == [5, 6, 7, 8]
+    # empty range
+    assert t.read_changes(spark, 3, 3).count() == 0
+    # from the beginning == full read
+    assert t.read_changes(spark, 0, 2).count() == 8
