@@ -252,3 +252,26 @@ def test_tile_counts_plan_no_python(spark):
     plan = _plan_of(tile_counts(pts, 8))
     # everything after the generator source is JVM-native
     assert "ArrowEvalPython" not in plan.split("MapInPandas")[0]
+
+def test_lsh_multitable_plan_shape(spark):
+    """Multi-table ANN plan: bucket equi-joins only (no cartesian), hot
+    buckets removed via broadcast anti-join, pair dedup via partial-agg
+    groupBy — the 10^12-row-safe shape (VERDICT r01 #1)."""
+    import numpy as np
+    import pandas as pd
+
+    from osmnightwatch_spark.operators.similarity import lsh_topk
+
+    rng = np.random.default_rng(2)
+    df = spark.createDataFrame(pd.DataFrame({
+        "vec_id": np.arange(500),
+        "embedding": list(map(list, rng.normal(size=(500, 8)))),
+    }))
+    out = lsh_topk(df, F.col("vec_id") % 50 == 0, k=3, dims=8,
+                   planes=5, tables=2, max_bucket=100)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "LeftAnti" in plan            # hot-bucket broadcast anti-join
+    assert "HashAggregate" in plan       # pair dedup is a partial-agg groupBy
+    assert "Window" in plan              # per-probe top-k only
