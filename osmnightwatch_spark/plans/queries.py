@@ -654,6 +654,36 @@ _GEO_CITY_SQL = (
 )
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs through the MULTI-TABLE LSH path
+    (2 tables — the 10^12-row shape): the oracle re-derives both bucket
+    tables, unions candidates, and scores with its own cosine. The
+    synthetic embeddings table has no true near-dups (max pairwise
+    cosine ≈ 0.51), so the threshold sits at 35% to produce a
+    non-trivial result set; the nearest pair is 3.6e-4 from the
+    boundary — 11 orders of magnitude above cross-engine float noise."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return S.embedding_near_dup_pairs(e, dims=_EMB_DIMS, threshold_pct=35,
+                                      tables=2)
+
+
+def _sql_embedding_near_dup():
+    b0 = S.lsh_bucket_sql("embedding", _EMB_DIMS)
+    b1 = S.lsh_bucket_sql("embedding", _EMB_DIMS, offset=S.N_PLANES)
+    return (
+        "WITH b AS ("
+        f"SELECT vec_id, 0 AS tbl, {b0} AS bkt FROM embeddings "
+        f"UNION ALL SELECT vec_id, 1, {b1} FROM embeddings), "
+        "pairs AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b "
+        "FROM b a JOIN b c ON a.tbl = c.tbl AND a.bkt = c.bkt "
+        "AND a.vec_id < c.vec_id) "
+        "SELECT id_a, id_b FROM pairs "
+        "JOIN embeddings ea ON ea.vec_id = id_a "
+        "JOIN embeddings eb ON eb.vec_id = id_b "
+        "WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= 0.35"
+    )
+
+
 def q_adaptive_cell_split(spark, sf_dir):
     """North-rule skew handling: stats pass finds hot cells; their rows
     re-encode at finer resolutions until under the cap (or max_res).
@@ -968,6 +998,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk": q_cosine_topk,
     "lsh_histogram": q_lsh_histogram,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "embedding_near_dup": q_embedding_near_dup,
     "adaptive_cell_split": q_adaptive_cell_split,
     "important_features": q_important_features,
     "cdc_merge": q_cdc_merge,
@@ -1009,6 +1040,7 @@ ORACLES: dict[str, str] = {
     "cosine_topk": SQL_cosine_topk,
     "lsh_histogram": _sql_lsh_histogram(),
     "ann_lsh_topk": _sql_ann_lsh_topk(),
+    "embedding_near_dup": _sql_embedding_near_dup(),
     "adaptive_cell_split": _sql_adaptive_cell_split(),
     "important_features": SQL_important_features,
     "cdc_merge": SQL_cdc_merge,
