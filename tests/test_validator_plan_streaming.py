@@ -275,3 +275,31 @@ def test_lsh_multitable_plan_shape(spark):
     assert "LeftAnti" in plan            # hot-bucket broadcast anti-join
     assert "HashAggregate" in plan       # pair dedup is a partial-agg groupBy
     assert "Window" in plan              # per-probe top-k only
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Pre-bucketed tables join co-located: the plan has a
+    SortMergeJoin with ZERO Exchange nodes — the shuffle was paid at
+    write time (the bucketing story for repeated big-big joins)."""
+    from osmnightwatch_spark.sources.catalog import write_bucketed
+
+    pts = spark.range(0, 10_000).selectExpr(
+        "id", "CAST(id % 257 AS LONG) AS cell", "id * 2 AS v")
+    write_bucketed(pts, "bkt_a", "cell", 8)
+    write_bucketed(pts.selectExpr("id AS id2", "cell", "v AS v2"),
+                   "bkt_b", "cell", 8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the big-big (SMJ) path is exercised —
+        # that's the case bucketing exists for
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a, b = spark.table("bkt_a"), spark.table("bkt_b")
+        joined = a.join(b, "cell")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
