@@ -131,3 +131,26 @@ def with_fingerprint(df: DataFrame, text: str = "text") -> DataFrame:
     """Document fingerprint: md5 hex of the text bytes (stable across
     engines; the rolling-hash variant lives in dedup shingles)."""
     return df.withColumn("fingerprint", F.md5(F.col(text)))
+
+
+# --- BPE-ish subword pretokenization count ---------------------------------
+
+# GPT-2-style pretokenizer shape restricted to ASCII classes so Java
+# (Spark) and RE2 (DuckDB) regex engines agree exactly: letter runs,
+# digit runs and punctuation runs, each absorbing one leading space
+BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Pretokenizer token count — the BPE-ish complement to the
+    whitespace count (a BPE tokenizer's unit count is bounded below by
+    these pretokens; the ratio whitespace/pretoken flags punctuation-
+    or digit-heavy junk documents)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PATTERN), F.lit(0))).cast("long")
+
+
+def bpe_token_count_sql(text: str) -> str:
+    return (
+        "CAST(len(regexp_extract_all("
+        f"{text}, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS BIGINT)"
+    )

@@ -487,15 +487,20 @@ SQL_dedup_exact = (
 
 def q_token_quality(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return TX.with_quality(d).select(
-        "doc_id", "n_tokens", "avg_token_len", "stopword_hits", "quality_ok"
+    return TX.with_quality(d).withColumn(
+        "n_bpe_tokens", TX.bpe_token_count(F.col("text"))
+    ).select(
+        "doc_id", "n_tokens", "n_bpe_tokens", "avg_token_len",
+        "stopword_hits", "quality_ok"
     )
 
 
 def _sql_token_quality():
     q = TX.quality_sql("text")
     return (
-        f"SELECT doc_id, {q['n_tokens']} AS n_tokens, {q['avg_token_len']} AS avg_token_len, "
+        f"SELECT doc_id, {q['n_tokens']} AS n_tokens, "
+        f"{TX.bpe_token_count_sql('text')} AS n_bpe_tokens, "
+        f"{q['avg_token_len']} AS avg_token_len, "
         f"{q['stopword_hits']} AS stopword_hits, {q['quality_ok']} AS quality_ok FROM documents"
     )
 

@@ -249,3 +249,17 @@ def test_ivf_topk_recall(spark, emb_clustered):
     # determinism: retraining yields identical centroids
     C2 = S.kmeans_centroids(df, dims=16, k_centroids=16, sample_n=240, iters=8)
     np.testing.assert_array_equal(C, C2)
+
+
+def test_bpe_token_count(spark):
+    d = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["hello world", "a1b2, c3!", "  spaced   out  "],
+    }))
+    out = d.select("doc_id", TX.bpe_token_count(F.col("text")).alias("n")) \
+        .toPandas().set_index("doc_id").n
+    # "hello world" -> ["hello", " world"]
+    assert out[0] == 2
+    # "a1b2, c3!" -> a,1,b,2,"," ," c",3,"!"
+    assert out[1] == 8
+    assert out[2] == 2  # "spaced", "out" (leading/multi spaces absorbed)
