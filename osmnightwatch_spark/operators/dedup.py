@@ -257,3 +257,56 @@ def simhash_dup_groups(df: DataFrame, id_col: str, text: str = "text") -> DataFr
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("min_id"))
         .where(F.col("n_docs") > 1)
     )
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str, text: str = "text",
+                        k: int = 8, w: int = 16) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's
+    MOSS scheme): hash every k-gram, slide a w-gram window, keep each
+    window's minimum hash — the selected set is a position-robust
+    fingerprint (any sufficiently long shared substring yields a
+    shared fingerprint). Returns distinct (id, fingerprint) rows.
+
+    Spark shape: one explode to (doc, pos, hash), one per-doc ordered
+    window min (each document is its own window partition — no hot
+    key), distinct. md5 as the hash keeps the SQL twin exact.
+    """
+    n_grams = F.length(F.col(text)) - F.lit(k - 1)
+    grams = df.select(
+        F.col(id_col),
+        n_grams.alias("_n"),
+        F.explode(
+            F.expr(f"sequence(1, greatest(length({text}) - {k - 1}, 1))")
+        ).alias("p"),
+        F.col(text).alias("_t"),
+    ).select(
+        id_col, "_n", "p",
+        F.md5(F.expr(f"substring(_t, p, {k})")).alias("h"),
+    )
+    from pyspark.sql import Window as W
+
+    win = W.partitionBy(id_col).orderBy("p").rowsBetween(0, w - 1)
+    return (
+        grams.withColumn("_wmin", F.min("h").over(win))
+        .where(F.col("p") <= F.greatest(F.col("_n") - F.lit(w - 1), F.lit(1)))
+        .select(F.col(id_col), F.col("_wmin").alias("fingerprint"))
+        .distinct()
+    )
+
+
+def winnow_sql(table: str, id_col: str, text: str = "text",
+               k: int = 8, w: int = 16) -> str:
+    """DuckDB twin of :func:`winnow_fingerprints`."""
+    return (
+        f"SELECT DISTINCT {id_col}, fingerprint FROM ("
+        f"SELECT {id_col}, p, n,"
+        f" min(h) OVER (PARTITION BY {id_col} ORDER BY p"
+        f" ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fingerprint"
+        f" FROM (SELECT {id_col},"
+        f" length({text}) - {k - 1} AS n,"
+        f" CAST(p AS BIGINT) AS p,"
+        f" md5(substr({text}, CAST(p AS INT), {k})) AS h"
+        f" FROM {table}, UNNEST(generate_series(1,"
+        f" greatest(length({text}) - {k - 1}, 1))) AS t(p))"
+        f") WHERE p <= greatest(n - {w - 1}, 1)"
+    )

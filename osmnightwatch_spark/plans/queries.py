@@ -659,6 +659,29 @@ _GEO_CITY_SQL = (
 )
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (MOSS) rolling-hash document fingerprints: per-doc
+    distinct window-min k-gram hashes. The oracle re-derives the full
+    scheme (gram explode → ordered window min → select) in SQL."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        D.winnow_fingerprints(d, "doc_id", k=8, w=16)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_fingerprints"),
+             F.min("fingerprint").alias("min_fp"),
+             F.max("fingerprint").alias("max_fp"))
+    )
+
+
+def _sql_winnow_fingerprints():
+    return (
+        "SELECT doc_id, COUNT(*) AS n_fingerprints, "
+        "MIN(fingerprint) AS min_fp, MAX(fingerprint) AS max_fp FROM ("
+        + D.winnow_sql("documents", "doc_id", k=8, w=16)
+        + ") GROUP BY doc_id"
+    )
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs through the MULTI-TABLE LSH path
     (2 tables — the 10^12-row shape): the oracle re-derives both bucket
@@ -1003,6 +1026,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk": q_cosine_topk,
     "lsh_histogram": q_lsh_histogram,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "winnow_fingerprints": q_winnow_fingerprints,
     "embedding_near_dup": q_embedding_near_dup,
     "adaptive_cell_split": q_adaptive_cell_split,
     "important_features": q_important_features,
@@ -1045,6 +1069,7 @@ ORACLES: dict[str, str] = {
     "cosine_topk": SQL_cosine_topk,
     "lsh_histogram": _sql_lsh_histogram(),
     "ann_lsh_topk": _sql_ann_lsh_topk(),
+    "winnow_fingerprints": _sql_winnow_fingerprints(),
     "embedding_near_dup": _sql_embedding_near_dup(),
     "adaptive_cell_split": _sql_adaptive_cell_split(),
     "important_features": SQL_important_features,

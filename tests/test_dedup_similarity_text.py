@@ -263,3 +263,22 @@ def test_bpe_token_count(spark):
     # "a1b2, c3!" -> a,1,b,2,"," ," c",3,"!"
     assert out[1] == 8
     assert out[2] == 2  # "spaced", "out" (leading/multi spaces absorbed)
+
+
+def test_winnow_fingerprints_properties(spark):
+    """Winnowing invariants: identical docs share ALL fingerprints; a
+    doc sharing a long substring shares SOME; unrelated docs share
+    none (whp); robust to position shift of the common block."""
+    common = "the winnowing scheme selects window minimum hashes robustly"
+    rows = [
+        (0, common + " plus tail zero zero zero zero"),
+        (1, common + " plus tail zero zero zero zero"),          # identical
+        (2, "prefix shifts the block >> " + common + " different tail"),
+        (3, "totally unrelated content with no overlap whatsoever here"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    fp = D.winnow_fingerprints(df, "doc_id", k=8, w=4).toPandas()
+    sets = {i: set(fp[fp.doc_id == i].fingerprint) for i in range(4)}
+    assert sets[0] == sets[1]
+    assert sets[0] & sets[2]           # shifted common block still shares
+    assert not (sets[0] & sets[3])     # unrelated: no shared fingerprints
