@@ -158,6 +158,8 @@ def main() -> None:
             eff = (n_run / sec_4n) / (4 * (n_run / sec_n))
             if best is None or eff > best[2]:
                 best = (sec_n, sec_4n, eff, n_run)
+            if best[2] >= 0.85:
+                break  # clearly healthy — don't spend another pair
         sec_n, sec_4n, _eff, n_run = best
         thr_n, thr_4n = n_run / sec_n, n_run / sec_4n
         scaling = {
