@@ -23,10 +23,17 @@ strings AND role semantics are the reference's, verbatim:
 * ``"Invalid polygon."`` (:111-113) — cross-ring invalidity (shells
   cross each other);
 * ``"No valid polygon found."`` (:115-117) — nothing assembled;
-* ``"Inner ways have invalid ring lines."`` (:129-131);
-* ``"Inner ways have unused sections."`` (:134-136);
+* ``"Inner ways have invalid ring lines."`` (:129-131) — checked
+  BEFORE the inner dangle check (GetInvalidRingLines precedes
+  GetDangles in the reference);
+* ``"Inner ways have unused sections."`` (:134-136) — inner dangles
+  only; inner **cut edges are silently dropped** (NTS Polygonizer
+  DeleteCutEdges removes the bridge and polygonizes the remaining
+  loops — no failure);
 * inner rings contained in no shell are **silently dropped**
-  (:139-150 only attaches contained holes).
+  (:139-150 only attaches contained holes);
+* relations whose members array is empty or null have no way member
+  at all → ``"Missing ways"`` (``atLeastOneWay`` stays false).
 
 One deliberate divergence: a member way (or way node) absent from the
 snapshot surfaces in the reference as a raw exception message
@@ -70,15 +77,21 @@ OUT_SCHEMA = ("relation_id long, geom_wkb binary, reason string,"
               " n_rings int, n_pts long")
 
 
-def _stitch_rings(chains: list[np.ndarray]) -> tuple[list[np.ndarray] | None, str | None]:
-    """Stitch way chains into closed rings by endpoint matching.
+def _key(pt) -> tuple[int, int]:
+    """Endpoint grid key on the snapped 1e-7 grid (reference fixed
+    precision model)."""
+    return (round(pt[0] * G.GRID), round(pt[1] * G.GRID))
 
-    Endpoints are matched on the snapped 1e-7 grid (reference fixed
-    precision model). Returns (rings, None), (None, 'unused') when a
-    chain has a free end (the reference's dangle), or (None, 'cut')
-    when the walk strands a chain (the reference's cut edge).
+
+def _stitch_rings(chains: list[np.ndarray]) -> tuple[list[np.ndarray] | None, str | None]:
+    """Stitch way chains into closed rings by endpoint matching
+    (strict: the OUTER-role semantics).
+
+    Returns (rings, None), (None, 'unused') when a chain has a free
+    end (the reference's dangle), or (None, 'cut') when the walk
+    strands a chain (the reference's cut edge).
     """
-    key = lambda pt: (round(pt[0] * G.GRID), round(pt[1] * G.GRID))  # noqa: E731
+    key = _key
     degree: dict = {}
     for ch in chains:
         for pt in (ch[0], ch[-1]):
@@ -118,6 +131,76 @@ def _stitch_rings(chains: list[np.ndarray]) -> tuple[list[np.ndarray] | None, st
             pts = np.vstack([pts, pts[:1]])
         rings.append(pts)
     return rings, None
+
+
+def _stitch_rings_lenient(chains: list[np.ndarray]) -> tuple[list[np.ndarray], bool]:
+    """INNER-role stitcher mirroring NTS Polygonizer's edge cleanup:
+    dangling chains (free ends, removed iteratively like DeleteDangles)
+    are *reported*, chains stranded mid-walk (cut edges, the bridge of
+    a dumbbell) are *silently dropped* (DeleteCutEdges), and everything
+    that closes becomes a ring. Returns (rings, has_dangle) — the
+    caller fails on has_dangle only AFTER checking ring validity
+    (reference checks GetInvalidRingLines before GetDangles)."""
+    key = _key
+    remaining = list(range(len(chains)))
+    has_dangle = False
+    while True:  # iterative: removing a dangle can expose a new free end
+        degree: dict = {}
+        for i in remaining:
+            for pt in (chains[i][0], chains[i][-1]):
+                degree[key(pt)] = degree.get(key(pt), 0) + 1
+        drop = [
+            i for i in remaining
+            if key(chains[i][0]) != key(chains[i][-1])
+            and (degree[key(chains[i][0])] == 1 or degree[key(chains[i][-1])] == 1)
+        ]
+        if not drop:
+            break
+        has_dangle = True
+        remaining = [i for i in remaining if i not in set(drop)]
+
+    rings: list[np.ndarray] = []
+    open_idx: list[int] = []
+    for i in remaining:
+        ch = chains[i]
+        if key(ch[0]) == key(ch[-1]):  # closed chain is a ring on its own
+            pts = ch if np.array_equal(ch[0], ch[-1]) else np.vstack([ch, ch[:1]])
+            rings.append(pts)
+        else:
+            open_idx.append(i)
+
+    by_end: dict = {}
+    for i in open_idx:
+        by_end.setdefault(key(chains[i][0]), []).append(i)
+        by_end.setdefault(key(chains[i][-1]), []).append(i)
+    used: set = set()
+    for start in open_idx:
+        if start in used:
+            continue
+        walk = [chains[start]]
+        used.add(start)
+        head = key(chains[start][0])
+        tail = key(chains[start][-1])
+        closed = True
+        while tail != head:
+            nxt = next((j for j in by_end.get(tail, []) if j not in used), None)
+            if nxt is None:
+                closed = False  # stranded walk = cut edges → dropped
+                break
+            used.add(nxt)
+            ch = chains[nxt]
+            if key(ch[0]) == tail:
+                walk.append(ch)
+                tail = key(ch[-1])
+            else:
+                walk.append(ch[::-1])
+                tail = key(ch[0])
+        if closed:
+            pts = np.vstack([walk[0]] + [c[1:] for c in walk[1:]])
+            if not np.array_equal(pts[0], pts[-1]):
+                pts = np.vstack([pts, pts[:1]])
+            rings.append(pts)
+    return rings, has_dangle
 
 
 def _ring_invalid(ring: np.ndarray) -> bool:
@@ -162,11 +245,13 @@ def _assemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
 
     holes: list[np.ndarray] = []
     if len(inner):
-        holes, err = _stitch_rings(chains_of(inner))
-        if err:
-            return fail(INNER_UNUSED)
+        # lenient stitch: cut edges silently dropped; ring validity is
+        # checked BEFORE the dangle failure (reference order)
+        holes, has_dangle = _stitch_rings_lenient(chains_of(inner))
         if any(_ring_invalid(h) for h in holes):
             return fail(INNER_INVALID_RINGS)
+        if has_dangle:
+            return fail(INNER_UNUSED)
 
     # attach each hole to the shell containing its first vertex;
     # holes contained in no shell are silently dropped (reference
@@ -210,19 +295,27 @@ def assemble_polygons(relations: DataFrame, ways: DataFrame,
     order); missing way/node references fail natively; only clean
     relations reach the grouped-map ring stitch.
     """
+    # explode_outer: a relation with an empty (or null) members array
+    # must still emit a flags row — has_way=0 → "Missing ways" (plain
+    # explode would drop it from BOTH native_fails and eligible)
     allm = relations.select(
-        F.col("id").alias("relation_id"), F.explode("members").alias("m")
+        F.col("id").alias("relation_id"), F.explode_outer("members").alias("m")
     ).select(
         "relation_id",
         F.col("m.member_id").alias("way_id"),
         F.coalesce(F.col("m.role"), F.lit("")).alias("role"),
         F.col("m.member_type").alias("mtype"),
+        F.col("m").isNotNull().alias("is_member"),
     )
-    is_way = F.col("mtype") == "way"
+    # eqNullSafe: the synthetic null-member row (empty members array)
+    # has mtype NULL — a plain == would make the flag NULL, and a NULL
+    # has_way escapes both the == 0 and == 1 filters below
+    is_way = F.col("mtype").eqNullSafe("way")
     flags = allm.groupBy("relation_id").agg(
         F.max((is_way & F.col("role").isin("outer", "inner", "")).cast("int"))
         .alias("has_way"),
-        F.max((F.col("role") == "").cast("int")).alias("has_empty"),
+        F.max((F.col("is_member") & (F.col("role") == "")).cast("int"))
+        .alias("has_empty"),
         F.max((is_way & (F.col("role") == "outer")).cast("int")).alias("has_outer"),
     )
     # reference check order: Missing ways → Member without role → No outer

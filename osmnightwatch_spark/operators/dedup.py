@@ -99,12 +99,13 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text: str = "text",
     making the guard itself the bottleneck at 10^12 rows."""
     sig = minhash_bands(shingles(df, id_col, text, size, stride), id_col, bands)
     # the signature table feeds both the bucket-size stats and the
-    # pair join; materialize it once (shingle explode + md5 is the
-    # expensive half) — lazy localCheckpoint so the blocks are
-    # ContextCleaner-tracked, not a leaked CacheManager entry. At
-    # 10^12 docs this materialization is the standard shape anyway:
-    # signatures are the reusable artifact of a minhash pipeline.
-    sig = sig.localCheckpoint(eager=False)
+    # pair join. No explicit materialization: sig ends in a groupBy
+    # exchange, and both consumers hang off the SAME exchange, so
+    # Spark's ReusedExchange serves the second read for free — while
+    # localCheckpoint(eager=False) was measured ~3.5× slower (the RDD
+    # conversion bypasses AQE and shuffle reuse; see knn.py lifecycle
+    # notes). At 10^12 docs a pipeline would persist signatures as a
+    # table between jobs; within one job, exchange reuse is the shape.
     hot = (
         sig.groupBy("band", "min_h")
         .agg(F.count(F.lit(1)).alias("bucket_n"))

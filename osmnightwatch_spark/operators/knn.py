@@ -145,13 +145,11 @@ def knn_join(probes: DataFrame, candidates: DataFrame, k: int, res: int = 6,
             "dist2", "rank",
         )
 
-    # the exact path reuses `ranked` three times (stats, good, residue
-    # anti-join); localCheckpoint instead of persist so the blocks are
-    # reference-tracked by the ContextCleaner and freed when the result
-    # is released — a CacheManager persist() would leak per invocation
     # the top-k feeds three consumers (stats, good, residue anti-join):
     # persist — measured 3.5× faster to materialize than localCheckpoint
-    # (the RDD conversion there bypasses AQE and shuffle reuse)
+    # (the RDD conversion there bypasses AQE and shuffle reuse); the
+    # finish() path eager-checkpoints the small result and unpersists,
+    # so no CacheManager entry outlives the call
     cached = [ranked.persist()]
     good, residue = exactness_split(ranked, p, 1)
     parts = [good]

@@ -53,6 +53,11 @@ NODES: list[tuple[int, float, float]] = [
     (71, 51.0, 1.0), (72, 52.0, 1.0),
     # far square (a hole contained in no shell → silently dropped)
     (81, 100.0, 10.0), (82, 101.0, 10.0), (83, 101.0, 11.0), (84, 100.0, 11.0),
+    # inner dumbbell inside the big square 161: two triangle loops
+    # joined by a bridge (the inner CUT-EDGE case — bridge dropped,
+    # loops become holes)
+    (91, 49.0, 0.0), (92, 50.0, 0.0), (93, 49.5, 0.5),
+    (94, 51.0, 0.0), (95, 52.0, 0.0), (96, 51.5, 0.5),
 ]
 
 WAYS: list[tuple[int, list[int]]] = [
@@ -70,6 +75,9 @@ WAYS: list[tuple[int, list[int]]] = [
     (161, [65, 66, 67, 68, 65]),                 # big square shell
     (170, [71, 72]),                             # open inner chain
     (175, [81, 82, 83, 84, 81]),                 # far square (unplaced hole)
+    (180, [91, 92, 93, 91]),                     # inner triangle loop 1
+    (181, [91, 94]),                             # inner bridge (cut edge)
+    (182, [94, 95, 96, 94]),                     # inner triangle loop 2
 ]
 
 # (relation_id, [(member_id, role, member_type)]) — expected reasons in
@@ -94,6 +102,16 @@ RELATIONS: list[tuple[int, list[tuple[int, str, str]]]] = [
     (1012, [(140, "outer", "way"), (99, "subarea", "way"),
             (1, "admin_centre", "node")]),          # OK: ignored members
     (1013, [(150, "outer", "way"), (151, "outer", "way")]),  # 3-pt ring invalid
+    (1014, []),                                     # empty members → Missing ways
+    (1015, None),                                   # null members → Missing ways
+    (1016, [(161, "outer", "way"), (180, "inner", "way"),
+            (181, "inner", "way"), (182, "inner", "way")]),
+    # ^ OK: inner cut edge (bridge 181) silently dropped, both loops
+    #   become holes → 3 rings, 5+4+4 = 13 pts
+    (1017, [(161, "outer", "way"), (160, "inner", "way"),
+            (170, "inner", "way")]),
+    # ^ inner bowtie AND inner dangle together → invalid ring lines
+    #   wins (reference checks GetInvalidRingLines before GetDangles)
 ]
 
 
@@ -105,7 +123,10 @@ def spark_frames(spark: SparkSession):
         [(i, ns, None) for i, ns in WAYS],
         "id long, nodes array<long>, tags map<string,string>")
     r = spark.createDataFrame(
-        [(i, [Row(member_id=m, role=ro, member_type=t) for m, ro, t in ms], None)
+        [(i,
+          None if ms is None
+          else [Row(member_id=m, role=ro, member_type=t) for m, ro, t in ms],
+          None)
          for i, ms in RELATIONS],
         "id long, members array<struct<member_id:long,role:string,member_type:string>>,"
         " tags map<string,string>")
@@ -124,9 +145,13 @@ def _values_ways() -> str:
 def _values_members() -> str:
     rows = []
     for rid, ms in RELATIONS:
-        for mid, role, mtype in ms:
+        for mid, role, mtype in (ms or []):
             rows.append(f"({rid}, {mid}, '{role}', '{mtype}')")
     return ", ".join(rows)
+
+
+def _values_rels() -> str:
+    return ", ".join(f"({rid})" for rid, _ in RELATIONS)
 
 
 # proper segment crossing (strict sign change on both orientations) —
@@ -144,15 +169,18 @@ def oracle_sql() -> str:
 WITH RECURSIVE
 nodes(id, lon, lat) AS (VALUES {_values_nodes()}),
 ways(id, nodes) AS (VALUES {_values_ways()}),
+rels(rel_id) AS (VALUES {_values_rels()}),
 members(rel_id, member_id, role, mtype) AS (VALUES {_values_members()}),
 -- reference role semantics: only outer/inner/'' way members count as
--- ways; '' on ANY member type trips the role check; other roles ignored
+-- ways; '' on ANY member type trips the role check; other roles ignored.
+-- LEFT JOIN from rels: a relation with an empty/null members array
+-- still gets a flags row (all zeros → 'Missing ways')
 flags AS (
-  SELECT rel_id,
-    max(CASE WHEN mtype='way' AND role IN ('outer','inner','') THEN 1 ELSE 0 END) AS has_way,
-    max(CASE WHEN role='' THEN 1 ELSE 0 END) AS has_empty,
-    max(CASE WHEN mtype='way' AND role='outer' THEN 1 ELSE 0 END) AS has_outer
-  FROM members GROUP BY rel_id),
+  SELECT r.rel_id,
+    coalesce(max(CASE WHEN m.mtype='way' AND m.role IN ('outer','inner','') THEN 1 ELSE 0 END), 0) AS has_way,
+    coalesce(max(CASE WHEN m.role='' THEN 1 ELSE 0 END), 0) AS has_empty,
+    coalesce(max(CASE WHEN m.mtype='way' AND m.role='outer' THEN 1 ELSE 0 END), 0) AS has_outer
+  FROM rels r LEFT JOIN members m ON m.rel_id = r.rel_id GROUP BY r.rel_id),
 eligible AS (
   SELECT rel_id FROM flags WHERE has_way=1 AND has_empty=0 AND has_outer=1),
 wm AS (
@@ -231,12 +259,20 @@ shells_cross AS (
   JOIN complabel cb ON cb.rel_id=b.rel_id AND cb.role='outer' AND cb.way_id=b.way_id
   WHERE a.role='outer' AND b.role='outer' AND ca.comp_id <> cb.comp_id
     AND {_CROSS}),
+-- inner semantics (lenient, NTS Polygonizer): rings = CLOSED inner
+-- ways (fixture scope: every inner ring is a single closed way);
+-- free-end inner chains are dangles (unused); open inner chains
+-- without free ends are cut edges — silently dropped, no failure
+inner_closed AS (
+  SELECT rel_id, way_id, len(nodes) AS ring_pts, nodes[1] AS first_node
+  FROM wm WHERE role='inner' AND nodes[1] = nodes[-1]),
 inner_unused AS (
   SELECT DISTINCT rel_id FROM deg WHERE role='inner' AND d=1),
 inner_invalid AS (
   SELECT DISTINCT a.rel_id FROM segs a JOIN segs b
     ON a.rel_id=b.rel_id AND a.way_id=b.way_id AND b.i > a.i + 1
-  WHERE a.role='inner' AND b.role='inner' AND {_CROSS}),
+  WHERE a.role='inner' AND b.role='inner' AND {_CROSS}
+  UNION SELECT rel_id FROM inner_closed WHERE ring_pts < 4),
 -- hole placement: bbox containment (fixture shells are rectangles)
 outer_bbox AS (
   SELECT s.rel_id, c.comp_id,
@@ -246,11 +282,10 @@ outer_bbox AS (
     ON c.rel_id=s.rel_id AND c.role='outer' AND c.way_id=s.way_id
   WHERE s.role='outer' GROUP BY 1, 2),
 hole_first AS (
-  SELECT r.rel_id, r.comp_id, r.ring_pts, n.lon, n.lat
-  FROM ringstat r JOIN nodes n ON n.id = r.first_node
-  WHERE r.role='inner'),
+  SELECT ic.rel_id, ic.way_id, ic.ring_pts, n.lon, n.lat
+  FROM inner_closed ic JOIN nodes n ON n.id = ic.first_node),
 placed AS (
-  SELECT DISTINCT h.rel_id, h.comp_id, h.ring_pts
+  SELECT DISTINCT h.rel_id, h.way_id, h.ring_pts
   FROM hole_first h JOIN outer_bbox o ON o.rel_id = h.rel_id
   WHERE h.lon >= o.x0 AND h.lon <= o.x1 AND h.lat >= o.y0 AND h.lat <= o.y1),
 ringcounts AS (
@@ -279,10 +314,10 @@ verdict AS (
         THEN 'Some outer ways form invalid rings.'
       WHEN f.rel_id IN (SELECT rel_id FROM shells_cross)
         THEN 'Invalid polygon.'
-      WHEN f.rel_id IN (SELECT rel_id FROM inner_unused)
-        THEN 'Inner ways have unused sections.'
       WHEN f.rel_id IN (SELECT rel_id FROM inner_invalid)
         THEN 'Inner ways have invalid ring lines.'
+      WHEN f.rel_id IN (SELECT rel_id FROM inner_unused)
+        THEN 'Inner ways have unused sections.'
       ELSE NULL END AS reason
   FROM flags f)
 SELECT CAST(v.rel_id AS BIGINT) AS relation_id, v.reason,

@@ -526,12 +526,18 @@ def q_jaccard_topk(spark, sf_dir):
     return D.jaccard_topk(d, "doc_id", k=20)
 
 
-def _sql_jaccard_topk():
+def _sql_jaccard_topk(max_df: int = 10_000):
+    # `cold` mirrors the engine's hot-shingle cap (dedup.jaccard_topk
+    # max_df): shingles with document frequency > max_df are dropped
+    # from the pair join only — sizes keep the full shingle sets —
+    # so the twin stays exact at every scale (ADVICE r02).
     sh = D.shingles_sql("documents", "doc_id")
     return (
         f"WITH sh AS ({sh}), sizes AS (SELECT doc_id, COUNT(*) n_sh FROM sh GROUP BY 1), "
-        "shared AS (SELECT a.doc_id id_a, b.doc_id id_b, COUNT(*) shared FROM sh a "
-        "JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        f"cold AS (SELECT * FROM sh WHERE shingle NOT IN "
+        f"(SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) > {max_df})), "
+        "shared AS (SELECT a.doc_id id_a, b.doc_id id_b, COUNT(*) shared FROM cold a "
+        "JOIN cold b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2) "
         "SELECT id_a, id_b, shared, CAST(FLOOR(100 * shared / "
         "(na.n_sh + nb.n_sh - shared)) AS BIGINT) AS jaccard_pct "
         "FROM shared JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b "
