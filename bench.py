@@ -144,23 +144,27 @@ def main() -> None:
     if do_scaling:
         cores_n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
         pairs = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "2"))
-        # each subprocess already takes min of two timed runs after a
-        # warmup (JIT + page cache). The whole N/4N pair additionally
-        # runs `pairs` times and the best-efficiency pair is reported:
-        # this box is a shared host (measured ±15% baseline noise with
-        # occasional multi-x spikes) and a noisy-neighbor window during
-        # exactly one of the two runs would otherwise report hardware
-        # noise as a scaling property of the engine.
-        best = None
+        # each subprocess takes min of two timed runs after a warmup
+        # (JIT + page cache). The whole N/4N pair runs `pairs` times
+        # and EVERY pair is recorded in the JSON. The headline
+        # efficiency recombines min-of-per-config times: this box is a
+        # shared host (±15% baseline noise, occasional multi-x spikes)
+        # and noise only ever ADDS time, so the per-config min is the
+        # best estimate of the true cost at each core count — unlike
+        # best-of-pairs efficiency, it cannot select a lucky ratio
+        # (both configs are minimized independently, so the headline
+        # can't benefit from one config's noise).
+        all_pairs = []
         for _ in range(max(1, pairs)):
             sec_n, n_run = flagship_subprocess(cores_n, path, mode="verified")
             sec_4n, _ = flagship_subprocess(cores_n * 4, path, mode="verified")
             eff = (n_run / sec_4n) / (4 * (n_run / sec_n))
-            if best is None or eff > best[2]:
-                best = (sec_n, sec_4n, eff, n_run)
-            if best[2] >= 0.85:
-                break  # clearly healthy — don't spend another pair
-        sec_n, sec_4n, _eff, n_run = best
+            all_pairs.append(
+                {"sec_n": round(sec_n, 3), "sec_4n": round(sec_4n, 3),
+                 "efficiency": round(eff, 3)}
+            )
+        sec_n = min(p["sec_n"] for p in all_pairs)
+        sec_4n = min(p["sec_4n"] for p in all_pairs)
         thr_n, thr_4n = n_run / sec_n, n_run / sec_4n
         scaling = {
             "cores_n": cores_n,
@@ -172,6 +176,9 @@ def main() -> None:
             "images_per_sec_n": round(thr_n, 1),
             "images_per_sec_4n": round(thr_4n, 1),
             "efficiency": round(thr_4n / (4 * thr_n), 3),
+            "method": "min-of-per-config over all pairs (noise only adds time)",
+            "pairs": all_pairs,
+            "best_pair_efficiency": max(p["efficiency"] for p in all_pairs),
         }
 
     spark = get_spark("bench", cores=cores)
@@ -179,20 +186,30 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
     def timed(name, fn):
-        # warm run (plan compile + JIT + python-worker spinup), then the
-        # timed steady-state run — local-mode first-run overhead is
-        # compilation, not data processing, and would swamp sf0.1 numbers
+        # warm run (plan compile + JIT + python-worker spinup), then
+        # min of `runs` timed steady-state runs — this box has ±30-50%
+        # single-run noise when the page cache churns, and noise only
+        # adds time, so the min is the honest steady-state estimate
         fn()
-        t0 = time.time()
-        fn()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(max(1, runs)):
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     geo = lambda: with_geo(spark.read.parquet(path).select("image_id", "phash"))  # noqa: E731
 
-    # warmup (JVM/codegen)
+    # warmup (JVM/codegen), then min-of-runs like every other query
     run_flagship(spark, path)
-    flagship_sec, _ = run_flagship(spark, path)
+    flagship_sec = None
+    for _ in range(max(1, runs)):
+        sec, _ = run_flagship(spark, path)
+        flagship_sec = sec if flagship_sec is None else min(flagship_sec, sec)
     timings["flagship_pipeline"] = round(flagship_sec, 3)
 
     timed("tile_counts_r8", lambda: tile_counts(geo(), 8).count())
@@ -203,8 +220,7 @@ def main() -> None:
             geo().where(F.crc32(F.col("image_id")) % 1000 == 0)
             .withColumnRenamed("image_id", "probe_id"),
             geo().withColumnRenamed("image_id", "cand_id"),
-            k=5, res=6,  # ~50 cands/cell at sf0.1 → ring occupancy a few × k
-                         # (res=4 was 780/cell: 40× more candidate pairs)
+            k=5,  # res auto-derived (occupancy rule → 6 at 200k cands)
         ).count(),
     )
     timed(
@@ -228,6 +244,21 @@ def main() -> None:
             emb, F.col("vec_id") % 50 == 0, k=5, dims=dims,
             planes=planes_for(n_emb, target_bucket=64), tables=2,
             max_bucket=50 * 64,
+        ).count(),
+    )
+    from osmnightwatch_spark.operators.similarity import ivf_topk, kmeans_centroids
+
+    # coarse quantizer trained once outside the timed loop — like the
+    # LSH plane set, the quantizer is the reusable index artifact; the
+    # timed part is the distributed assign + cell join + top-k
+    centroids = kmeans_centroids(
+        emb, dims=dims, k_centroids=max(16, n_emb // 64)
+    )
+    timed(
+        "ann_ivf_scaled",
+        lambda: ivf_topk(
+            emb, F.col("vec_id") % 50 == 0, k=5, dims=dims,
+            centroids=centroids, nprobe=4,
         ).count(),
     )
     spark.stop()

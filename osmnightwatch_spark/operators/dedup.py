@@ -43,17 +43,19 @@ def exact_dedup(df: DataFrame, key: str, id_col: str) -> DataFrame:
 
 
 def shingles(df: DataFrame, id_col: str, text: str = "text",
-             size: int = DEFAULT_SHINGLE, stride: int = DEFAULT_STRIDE) -> DataFrame:
-    """Distinct (id, shingle) pairs: ``size``-char substrings at
-    1-based positions 1, 1+stride, … (native sequence+transform)."""
+             size: int = DEFAULT_SHINGLE, stride: int = DEFAULT_STRIDE,
+             distinct: bool = True) -> DataFrame:
+    """(id, shingle) pairs: ``size``-char substrings at 1-based
+    positions 1, 1+stride, … (native sequence+transform). Distinct by
+    default (Jaccard needs set semantics); ``distinct=False`` skips
+    the dedup exchange for consumers that are multiset-insensitive
+    (MinHash: min over a multiset == min over its set)."""
     arr = F.expr(
         f"transform(sequence(1, greatest(length({text}) - {size - 1}, 1), {stride}),"
         f" p -> substring({text}, p, {size}))"
     )
-    return (
-        df.select(F.col(id_col), F.explode(arr).alias("shingle"))
-        .distinct()
-    )
+    out = df.select(F.col(id_col), F.explode(arr).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def shingles_sql(table: str, id_col: str, text: str = "text",
@@ -72,21 +74,30 @@ def minhash_bands(sh: DataFrame, id_col: str, bands: int = 8) -> DataFrame:
 
     md5 as the hash family: lexicographic min over uniformly-random
     hex strings ≡ numeric min over a random permutation — the standard
-    MinHash estimator, and exactly reproducible in SQL."""
-    banded = sh.select(
-        F.col(id_col),
-        F.explode(F.array(*[F.lit(b) for b in range(bands)])).alias("band"),
-        "shingle",
-    ).withColumn(
-        "h", F.md5(F.concat(F.col("band").cast("string"), F.lit(":"), F.col("shingle")))
-    )
-    return banded.groupBy(id_col, "band").agg(F.min("h").alias("min_h"))
+    MinHash estimator, and exactly reproducible in SQL.
+
+    Shape: ONE aggregation computes all ``bands`` minima as parallel
+    agg columns (map-side partial min absorbs everything), then a
+    row-count-neutral unpivot to (id, band, min_h) — vs the naive
+    explode-by-band + groupBy(id, band), this moves ``bands``× fewer
+    rows through the only exchange."""
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{b}:"), F.col("shingle")))).alias(f"_m{b}")
+        for b in range(bands)
+    ]
+    per_doc = sh.groupBy(id_col).agg(*mins)
+    unpivot = F.explode(F.array(*[
+        F.struct(F.lit(b).alias("band"), F.col(f"_m{b}").alias("min_h"))
+        for b in range(bands)
+    ])).alias("s")
+    return per_doc.select(F.col(id_col), unpivot).select(id_col, "s.band", "s.min_h")
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text: str = "text",
                       bands: int = 8, size: int = DEFAULT_SHINGLE,
                       stride: int = DEFAULT_STRIDE,
-                      max_bucket: int = 1000) -> DataFrame:
+                      max_bucket: int = 1000,
+                      materialize: bool = False) -> DataFrame:
     """Candidate near-dup pairs: documents sharing ≥1 (band, min-hash)
     bucket. Returns (id_a, id_b, n_shared_bands), id_a < id_b.
 
@@ -96,16 +107,24 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text: str = "text",
     few over-cap buckets are removed with a *broadcast anti-join* — a
     window over the bucket key would shuffle every signature row to
     the hot bucket's single partition before the filter could drop it,
-    making the guard itself the bottleneck at 10^12 rows."""
-    sig = minhash_bands(shingles(df, id_col, text, size, stride), id_col, bands)
-    # the signature table feeds both the bucket-size stats and the
-    # pair join. No explicit materialization: sig ends in a groupBy
-    # exchange, and both consumers hang off the SAME exchange, so
-    # Spark's ReusedExchange serves the second read for free — while
-    # localCheckpoint(eager=False) was measured ~3.5× slower (the RDD
-    # conversion bypasses AQE and shuffle reuse; see knn.py lifecycle
-    # notes). At 10^12 docs a pipeline would persist signatures as a
-    # table between jobs; within one job, exchange reuse is the shape.
+    making the guard itself the bottleneck at 10^12 rows.
+
+    The signature table feeds three consumers (the hot-bucket stats
+    and both sides of the pair join). Catalyst does not reuse the sig
+    exchange across them (canonical plans diverge above it), so the
+    default recomputes sig per consumer — measured FASTER here than
+    both the persist lifecycle and lazy localCheckpoint, because sig
+    is one scan + one exchange and the materialization paths pay an
+    extra job plus an AQE-bypassing RDD conversion. At 10^12 docs
+    signatures are the reusable artifact of a minhash pipeline and
+    would be a persisted table between jobs; ``materialize=True``
+    gives that shape in-session with the leak-free knn lifecycle
+    (persist sig → eager-checkpoint the pair table → unpersist)."""
+    sig = minhash_bands(
+        shingles(df, id_col, text, size, stride, distinct=False), id_col, bands
+    )
+    if materialize:
+        sig = sig.persist()
     hot = (
         sig.groupBy("band", "min_h")
         .agg(F.count(F.lit(1)).alias("bucket_n"))
@@ -113,14 +132,23 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text: str = "text",
         .select("band", "min_h")
     )
     sized = sig.join(F.broadcast(hot), ["band", "min_h"], "left_anti")
+    # pair expansion as a bucket equi-join: AQE converts both sides to
+    # a broadcast hash join at bench scale and a co-partitioned shuffle
+    # join at 10^12 (bucket sizes stay ≤ max_bucket either way). An
+    # in-row collect_list + nested-transform expansion was measured
+    # ~30% SLOWER here — the array lambdas evaluate interpreted.
     a = sized.select(F.col(id_col).alias("id_a"), "band", "min_h")
     b = sized.select(F.col(id_col).alias("id_b"), "band", "min_h")
-    return (
+    pairs = (
         a.join(b, ["band", "min_h"])
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
+    if materialize:
+        pairs = pairs.localCheckpoint(eager=True)
+        sig.unpersist()
+    return pairs
 
 
 def jaccard_topk(df: DataFrame, id_col: str, text: str = "text", k: int = 20,

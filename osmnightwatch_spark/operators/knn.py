@@ -76,7 +76,28 @@ def _block_guard(res: int, r: int):
     )
 
 
-def knn_join(probes: DataFrame, candidates: DataFrame, k: int, res: int = 6,
+def auto_res(n_candidates: int, k: int, target_occ_per_k: int = 4) -> int:
+    """Resolution rule (the documented occupancy heuristic): pick res
+    so expected cell occupancy ≈ ``target_occ_per_k × k`` under a
+    uniform spread — cells hold enough candidates that ring-1 usually
+    satisfies k (small residue), but few enough that the per-probe
+    candidate list stays O(k) (round-1 r2 measured res=4 at 40× the
+    candidate pairs of res=6 on 200k points).
+
+    ``res = floor(log4(n / (target_occ_per_k·k)))`` clamped to
+    [2, 14]. Skewed data (a dense city cell) degrades gracefully: the
+    per-probe window trims each probe to k rows and the ring ladder
+    never scans beyond the probe's neighborhood.
+    """
+    import math
+
+    occ = max(1, target_occ_per_k * k)
+    cells = max(1.0, n_candidates / occ)
+    return max(2, min(14, int(math.log(cells, 4))))
+
+
+def knn_join(probes: DataFrame, candidates: DataFrame, k: int,
+             res: int | None = None,
              probe_id: str = "probe_id", cand_id: str = "cand_id",
              lon: str = "lon", lat: str = "lat",
              exact: bool = True, materialize: bool = True) -> DataFrame:
@@ -92,7 +113,13 @@ def knn_join(probes: DataFrame, candidates: DataFrame, k: int, res: int = 6,
     intermediate cache is unpersisted before returning — no CacheManager
     entry outlives the call. ``materialize=False`` returns the lazy
     plan and leaves cache lifecycle to the caller (plan-inspection /
-    composition use)."""
+    composition use).
+
+    ``res=None`` (default) derives the resolution from the candidate
+    count via :func:`auto_res` (one cheap ``count()`` — metadata-only
+    on a parquet scan); pass an explicit res to pin it."""
+    if res is None:
+        res = auto_res(candidates.count(), k)
     p = probes.select(
         F.col(probe_id).alias("_pid"),
         F.col(lon).alias("_plon"),

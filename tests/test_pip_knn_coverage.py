@@ -180,3 +180,38 @@ def test_knn_empty_neighborhood_ring_expansion(spark):
     exp = knn_join_brute(probes, cands, k=3).toPandas().sort_values(
         ["probe_id", "rank"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_knn_auto_res_rule():
+    """auto_res follows the documented occupancy heuristic and clamps."""
+    from osmnightwatch_spark.operators.knn import auto_res
+
+    # 200k candidates, k=5 → occ 20 → 10k cells → floor(log4) = 6
+    # (the value the round-2 bench study measured as optimal at sf0.1)
+    assert auto_res(200_000, 5) == 6
+    assert auto_res(10, 5) == 2        # clamp low
+    assert auto_res(10**12, 5) == 14   # clamp high (~268M cells)
+    assert auto_res(200_000, 5) < auto_res(200_000 * 64, 5)
+
+
+def test_knn_auto_res_degenerate_dense(spark):
+    """res=None on a pathologically dense fixture (every point in one
+    city block) still returns the exact brute answer — auto_res picks a
+    coarse res for the tiny count, the single hot cell is trimmed to k
+    per probe by the window, and the guarantee check keeps exactness."""
+    rng = np.random.default_rng(23)
+    n = 300
+    pts = pd.DataFrame({
+        "pt_id": np.arange(n),
+        "lon": 13.40 + rng.uniform(0, 0.01, n),  # one ~1km square
+        "lat": 52.52 + rng.uniform(0, 0.01, n),
+    })
+    probes = spark.createDataFrame(
+        pts.sample(25, random_state=7).rename(columns={"pt_id": "probe_id"}))
+    cands = spark.createDataFrame(pts.rename(columns={"pt_id": "cand_id"}))
+    got = knn_join(probes, cands, k=4).toPandas().sort_values(
+        ["probe_id", "rank"]).reset_index(drop=True)
+    exp = knn_join_brute(probes, cands, k=4).toPandas().sort_values(
+        ["probe_id", "rank"]).reset_index(drop=True)
+    assert got[["probe_id", "cand_id", "rank"]].equals(
+        exp[["probe_id", "cand_id", "rank"]])
