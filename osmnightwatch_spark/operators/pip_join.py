@@ -219,8 +219,15 @@ def pip_join(points: DataFrame, prepared: PreparedPolygons,
     if strategy == "broadcast":
         joined = pts.join(F.broadcast(cov), "_cell")
     else:
-        # co-partition both sides on the cell key; AQE splits skewed cells
-        joined = pts.repartition("_cell").join(cov, "_cell")
+        # co-partition both sides on the cell key via the join's OWN
+        # exchanges. Deliberately NO hand .repartition("_cell"): a
+        # user-injected REPARTITION_BY_COL shuffle is off-limits to
+        # AQE's OptimizeSkewedJoin (it only splits ENSURE_REQUIREMENTS
+        # exchanges), so hand-partitioning would disable exactly the
+        # skew mitigation a planted-city hot cell needs (measured:
+        # with repartition the hot cell never splits; without it the
+        # skew reader kicks in — pinned by the shuffle-PIP plan test).
+        joined = pts.join(cov, "_cell")
 
     inside = _refine_udf(spark, prepared.edges)
     if single_pass:

@@ -119,6 +119,43 @@ def default_registry() -> Registry:
     return Registry().register(admin).register(coastline)
 
 
-def write_issues_json(issues: DataFrame, path: str) -> None:
-    """S12 sink: distributed JSON write of the issues relation."""
+def write_issues_json(issues: DataFrame, path: str,
+                      batch_ts: str | None = None,
+                      now_ts: str | None = None,
+                      max_staleness_min: int = 5) -> bool:
+    """S12 sink: distributed JSON write of the issues relation, behind
+    the reference's publish-freshness gate (``Program.cs:176-192``,
+    UploadIssues): publish only when the batch is fresh — its
+    replication end timestamp within ``max_staleness_min`` of now — OR
+    an already-published copy exists and is older than this batch.
+    During catch-up over a backlog this skips publishing every stale
+    intermediate batch (the final, fresh one publishes); a skipped
+    publish does NOT skip the commit — callers checkpoint state
+    regardless, exactly like the reference.
+
+    Returns True when published. ``batch_ts=None`` keeps the
+    unconditional round-1 behavior. Timestamps are ``YYYY-MM-DD
+    HH:MM:SS`` strings; ``now_ts`` is injectable for tests.
+    """
+    import json
+    import os
+    from datetime import datetime, timedelta, timezone
+
+    meta_file = os.path.join(path, "_publish_meta.json")
+    if batch_ts is not None:
+        fmt = "%Y-%m-%d %H:%M:%S"
+        batch = datetime.strptime(batch_ts, fmt)
+        now = (datetime.strptime(now_ts, fmt) if now_ts is not None
+               else datetime.now(timezone.utc).replace(tzinfo=None))
+        fresh = batch + timedelta(minutes=max_staleness_min) > now
+        existing_older = False
+        if os.path.exists(meta_file):
+            with open(meta_file) as f:
+                existing_older = json.load(f)["batch_ts"] < batch_ts
+        if not (fresh or existing_older):
+            return False
     issues.write.mode("overwrite").json(path)
+    if batch_ts is not None:
+        with open(meta_file, "w") as f:
+            json.dump({"batch_ts": batch_ts}, f)
+    return True

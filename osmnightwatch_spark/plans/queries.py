@@ -506,11 +506,15 @@ def _sql_token_quality():
 
 
 def q_lang_guess(spark, sf_dir):
+    """n-gram naive-Bayes language ID: trains the quantized trigram
+    profile on the labeled corpus (distributed count, dim-sized
+    collect) and scores every document natively."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return TX.with_lang_guess(d).select("doc_id", "lang_guess")
+    model = TX.train_lang_ngrams(d)
+    return TX.lang_ngram_guess(d, model).select("doc_id", "lang_guess")
 
 
-SQL_lang_guess = f"SELECT doc_id, {TX.lang_guess_sql('text')} AS lang_guess FROM documents"
+SQL_lang_guess = TX.lang_ngram_sql()
 
 
 def q_fingerprint(spark, sf_dir):

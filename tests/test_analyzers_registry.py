@@ -33,3 +33,28 @@ def test_registry_runs_both_analyzers(spark, admin_world, tmp_path):  # noqa: F8
     back = spark.read.json(out)
     assert back.count() == len(pdf2)
     assert {"issue_type", "osm_type", "osm_id", "details", "analyzer"} <= set(back.columns)
+
+
+def test_publish_freshness_gate(spark, tmp_path):
+    """Reference Program.cs:176-192: stale batches with no newer data
+    than the published copy are skipped; fresh batches (or batches
+    newer than what's published) go out."""
+    issues = spark.createDataFrame(pd.DataFrame({"issue_type": ["x"], "osm_id": [1]}))
+    out = str(tmp_path / "issues_json")
+
+    # fresh batch (within 5 min of 'now') → publishes
+    assert write_issues_json(issues, out, batch_ts="2024-05-01 00:03:00",
+                             now_ts="2024-05-01 00:05:00")
+    # stale batch, and the published copy is NEWER → skipped
+    assert not write_issues_json(issues, out, batch_ts="2024-04-30 23:00:00",
+                                 now_ts="2024-05-01 01:00:00")
+    # stale batch but newer than the published copy → publishes
+    # (the reference's existingData.DateTime < new.DateTime arm)
+    assert write_issues_json(issues, out, batch_ts="2024-05-01 00:10:00",
+                             now_ts="2024-05-01 01:00:00")
+    # stale batch, nothing published yet at a fresh path → skipped
+    out2 = str(tmp_path / "issues_json2")
+    assert not write_issues_json(issues, out2, batch_ts="2024-05-01 00:00:00",
+                                 now_ts="2024-05-01 01:00:00")
+    # no batch_ts → unconditional legacy write
+    assert write_issues_json(issues, out2)

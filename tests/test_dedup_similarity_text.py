@@ -114,13 +114,32 @@ def test_embedding_near_dup_pairs(spark, emb):
     assert (3, 7) in set(map(tuple, pairs.to_numpy()))
 
 
-def test_lang_guess_deterministic(spark):
-    d = spark.createDataFrame(pd.DataFrame({
+def test_lang_ngram_accuracy_on_labels(spark):
+    """The trigram NB model recovers the generator's language labels
+    at ≥95% (VERDICT r02: the marker heuristic was ~47%)."""
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    model = TX.train_lang_ngrams(d)
+    assert sorted(model.langs) == model.langs and len(model.langs) >= 4
+    out = TX.lang_ngram_guess(d, model).toPandas().set_index("doc_id").lang_guess
+    truth = d.select("doc_id", "lang").toPandas().set_index("doc_id").lang
+    acc = (out.reindex(truth.index) == truth).mean()
+    assert acc >= 0.95, f"accuracy {acc:.3f}"
+
+
+def test_lang_ngram_deterministic_ties(spark):
+    """A document equidistant from every profile (all-unseen grams)
+    resolves to the alphabetically first language, deterministically."""
+    train = spark.createDataFrame(pd.DataFrame({
         "doc_id": [0, 1],
-        "text": ["x the value fast value y", "merge big merge big data"],
+        "text": ["alpha beta gamma delta", "uno dos tres cuatro"],
+        "lang": ["bb", "aa"],
     }))
-    out = TX.with_lang_guess(d).toPandas().set_index("doc_id").lang_guess
-    assert out[0] == "en" and out[1] == "zh"
+    model = TX.train_lang_ngrams(train)
+    probe = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [9], "text": ["zz yy xx ww"]}))
+    out = TX.lang_ngram_guess(probe, model).toPandas()
+    # both langs have equal totals here → exact tie → lang asc
+    assert out.lang_guess.iloc[0] == "aa"
 
 
 def test_phash_near_dup_pairs(spark):

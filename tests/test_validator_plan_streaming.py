@@ -303,3 +303,56 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_pip_join_shuffle_path_copartition_and_skew(spark):
+    """The strategy='shuffle' PIP path (the 10^12-row covering case):
+    both join sides co-partition on _cell through the join's OWN
+    ENSURE_REQUIREMENTS exchanges — no hand repartition, because AQE's
+    OptimizeSkewedJoin refuses to split REPARTITION_BY_COL shuffles —
+    and on a planted-city hot cell the skew reader actually engages
+    (VERDICT r02 #7)."""
+    import re
+
+    from osmnightwatch_spark.operators.pip_join import PreparedPolygons, pip_join
+    from osmnightwatch_spark.sources import polygons as P
+
+    rng = np.random.default_rng(11)
+    n = 120_000
+    city = rng.random(n) < 0.9  # 90% of points in one ~100 m cell
+    pts = spark.createDataFrame(pd.DataFrame({
+        "pt_id": np.arange(n),
+        "lon": np.where(city, 13.4 + rng.random(n) * 0.001,
+                        rng.uniform(-179, 179, n)),
+        "lat": np.where(city, 52.5 + rng.random(n) * 0.001,
+                        rng.uniform(-85, 85, n)),
+    }))
+    prep = PreparedPolygons.build(P.valid_polygon_list(rect_only=True), res=7)
+    tuned = {
+        # force the shuffle shape (prod: covering too big to broadcast)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        # shrink skew thresholds so the fixture-sized hot cell trips them
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        out = pip_join(pts, prep, strategy="shuffle")
+        out.collect()  # collect() finalizes THIS frame's adaptive plan
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            (spark.conf.set(k, v) if v is not None else spark.conf.unset(k))
+    assert "isFinalPlan=true" in plan
+    # co-partitioned on the cell key, via join-owned exchanges only
+    assert len(re.findall(
+        r"Exchange hashpartitioning\(_cell[^)]*\), ENSURE_REQUIREMENTS", plan)) >= 2
+    assert "REPARTITION_BY_COL" not in plan
+    assert "BroadcastHashJoin" not in plan
+    # AQE split the planted hot cell on the point side
+    assert plan.count("skew=true") >= 1
+    assert re.search(r"AQEShuffleRead [a-z ]*skewed", plan)
