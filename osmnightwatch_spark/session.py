@@ -13,6 +13,16 @@ import zipfile
 
 from pyspark.sql import SparkSession
 
+# Arrow batch row count for JVM↔Python transfer, pinned against the
+# PAYLOAD row size, not the metadata row size: the images table carries
+# ~8 KB binary rows (sources/images: w·h·3 bytes ≈ 48×48×3 + headers),
+# so 2048 rows/batch ≈ 16 MB Arrow buffers per Python worker — bounded
+# even with 32 concurrent workers (~0.5 GB transient), where the 10k
+# default would hold ~80 MB per worker (~2.5 GB). Metadata-only kernels
+# lose nothing measurable: per-batch overhead is ~ms and even a 10^12-row
+# job is throughput-bound, not batch-count-bound.
+ARROW_BATCH_ROWS = 2048
+
 
 def _ship_package(spark: SparkSession) -> None:
     """Ship this package to executors (the --py-files mechanism).
@@ -53,7 +63,7 @@ def get_spark(app: str = "osmnightwatch_spark", cores: int | None = None,
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", str(ui).lower())
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -356,3 +356,37 @@ def test_pip_join_shuffle_path_copartition_and_skew(spark):
     # AQE split the planted hot cell on the point side
     assert plan.count("skew=true") >= 1
     assert re.search(r"AQEShuffleRead [a-z ]*skewed", plan)
+
+
+def test_arrow_batch_pin_and_postshuffle_pixel_identity(spark):
+    """SURVEY §7.2(f) / VERDICT r02 #10: the Arrow transfer batch size
+    is pinned against the 8 KB payload rows (ARROW_BATCH_ROWS), and an
+    8 KB-payload column that crosses a real shuffle then an Arrow
+    boundary decodes to byte-identical pixels."""
+    import hashlib
+    import os
+
+    from osmnightwatch_spark.functions import codecs as K
+    from osmnightwatch_spark.session import ARROW_BATCH_ROWS
+
+    assert spark.conf.get(
+        "spark.sql.execution.arrow.maxRecordsPerBatch") == str(ARROW_BATCH_ROWS)
+
+    path = "/root/repo/data/images_sf0.1"
+    imgs = (spark.read.parquet(path).where(F.crc32(F.col("image_id")) % 40 == 0)
+            if os.path.exists(os.path.join(path, "_SUCCESS"))
+            else I.images_df(spark, 5000, partitions=8))
+
+    def digest(batches):
+        for pdf in batches:
+            out = []
+            for b, fmt, w, h in zip(pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"]):
+                px = K.decode(bytes(b), str(fmt), int(w), int(h))
+                out.append(hashlib.md5(px.tobytes()).hexdigest())
+            yield pd.DataFrame({"image_id": pdf["image_id"], "d": out})
+
+    schema = "image_id string, d string"
+    direct = dict(imgs.mapInPandas(digest, schema).collect())
+    shuffled = imgs.repartition(16, "phash")  # full-payload exchange
+    after = dict(shuffled.mapInPandas(digest, schema).collect())
+    assert len(direct) > 1000 and direct == after
