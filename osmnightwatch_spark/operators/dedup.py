@@ -339,3 +339,93 @@ def winnow_sql(table: str, id_col: str, text: str = "text",
         f" greatest(length({text}) - {k - 1}, 1))) AS t(p))"
         f") WHERE p <= greatest(n - {w - 1}, 1)"
     )
+
+
+def dedup_clusters(pairs: DataFrame, all_ids: DataFrame | None = None,
+                   id_col: str = "doc_id", max_iters: int = 20) -> DataFrame:
+    """Connected components over the near-dup pair graph →
+    (id, keeper_id): every document labeled with the minimum id of its
+    duplicate cluster — the assignment a dedup pipeline actually needs
+    (keep one representative per transitive cluster, not per pair).
+
+    Input: (id_a, id_b) candidate pairs (e.g. :func:`minhash_lsh_pairs`
+    output). ``all_ids`` optionally supplies the full document set so
+    singletons appear as their own keeper.
+
+    Spark shape: iterative min-label propagation — each round joins
+    labels across the symmetric edge list and takes the per-node min
+    (one shuffle per round), stopping when a round changes nothing.
+    Rounds needed = graph diameter; LSH near-dup clusters are
+    band-bucket cliques with diameter ≈ 1-2, so this converges in 2-3
+    rounds (the O(log n) large-star/small-star alternation is the
+    upgrade path for adversarial long-chain graphs). Each round's
+    labels are persisted and the previous round unpersisted — no cache
+    entry outlives the call; the returned frame is eager-checkpointed
+    (node-count-sized, the small artifact).
+    """
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    # materialize the edge list ONCE: every iteration joins against it,
+    # and without the cut each round would recompute the full upstream
+    # pair plan (e.g. the whole minhash pipeline) plus ever-deeper
+    # lineage. This is the case where checkpointing IS right — the
+    # recompute is many exchanges deep and reused max_iters times
+    # (contrast minhash_lsh_pairs, where sig is 1 exchange deep).
+    sym = sym.localCheckpoint(eager=True)
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    if all_ids is not None:
+        nodes = nodes.unionByName(
+            all_ids.select(F.col(id_col).alias("node"))
+        ).distinct()
+    labels = nodes.select("node", F.col("node").alias("label")).persist()
+    labels.count()
+    for _ in range(max_iters):
+        # candidate label per node: min over own label and neighbors'
+        neigh = (
+            sym.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .select(F.col("src").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "_old"), "node")
+            .where(F.col("label") != F.col("_old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("keeper_id")
+    ).localCheckpoint(eager=True)
+    labels.unpersist()
+    return out
+
+
+def dedup_clusters_sql(pairs_sql: str, id_col: str = "doc_id",
+                       all_ids_sql: str | None = None) -> str:
+    """DuckDB twin: recursive-CTE min-label propagation over the same
+    pair set (the engine-independent definition of connected
+    components: a node's keeper is the min id reachable from it)."""
+    singles = (
+        f"UNION SELECT {id_col}, {id_col} FROM ({all_ids_sql})"
+        if all_ids_sql else ""
+    )
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+sym(src, dst) AS (
+  SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(node, label) AS (
+  SELECT src, src FROM sym {singles}
+  UNION
+  SELECT s.src, r.label FROM sym s JOIN reach r ON r.node = s.dst)
+SELECT node AS {id_col}, CAST(min(label) AS BIGINT) AS keeper_id
+FROM reach GROUP BY node
+""".strip()

@@ -1,0 +1,139 @@
+"""Training-data assembly operators: deterministic stratified
+sampling (domain mixing) and concat-and-chunk sequence packing.
+
+Both are everyday pretraining-pipeline stages downstream of dedup and
+quality filtering:
+
+* :func:`stratified_sample` applies per-group keep fractions (the
+  "data mixing weights" of a corpus recipe) with a DETERMINISTIC
+  hash-threshold rule — no rand(): resume/retry-safe, reproducible
+  across engines, and an exact SQL twin exists because md5 hex is
+  bit-identical everywhere (same rationale as the MinHash family in
+  ``operators/dedup``).
+* :func:`pack_sequences` assigns every document an (output bin,
+  offset) under the concatenate-then-chunk packing used to build
+  fixed-length training windows: documents in a deterministic order
+  are laid end-to-end per shard and cut every ``max_tokens`` tokens
+  (documents may straddle a cut — that is how pretraining packing
+  actually works, and unlike first-fit bin packing it is expressible
+  as a pure window cumsum, no sequential driver logic).
+
+Scale notes: sampling is a stateless filter (no shuffle at all —
+pushes down next to the scan). Packing shuffles once into per-shard
+windows; shards are hash-derived so the window partitions are
+balanced and each holds ~shard_docs rows — pick ``n_shards`` ∝ corpus
+size to bound per-partition window state at 10^12 docs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+HASH_WIDTH = 4  # hex chars of md5 used as the keep threshold (16^4 buckets)
+
+
+def _keep_threshold(fraction: float) -> str:
+    """fraction ∈ [0,1] → lowercase hex threshold compared against the
+    first HASH_WIDTH md5 chars; same-width lexicographic compare ==
+    numeric compare. fraction 1.0 returns 'g', which sorts after every
+    hex string (keep-all) without widening the comparison."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    v = int(round(fraction * 16 ** HASH_WIDTH))
+    if v >= 16 ** HASH_WIDTH:
+        return "g"
+    return format(v, f"0{HASH_WIDTH}x")
+
+
+def stratified_sample(df: DataFrame, group_col: str, fractions: dict[str, float],
+                      id_col: str, default: float = 0.0) -> DataFrame:
+    """Keep each row iff the md5 of its id falls under its group's
+    threshold: ``substr(md5(id), 1, 4) < hex(frac · 16⁴)``.
+
+    Per-group resolution within 1/65536 ≈ 0.0015%; groups absent from
+    ``fractions`` use ``default`` (0 = drop). Deterministic in the id
+    alone — re-running, resuming, or changing partitioning never
+    changes the sample, and adjusting one group's weight leaves every
+    other group's selection untouched (the property that makes mixing
+    weights tunable without invalidating downstream caches).
+    """
+    h = F.substring(F.md5(F.col(id_col).cast("string")), 1, HASH_WIDTH)
+    expr = None
+    for grp, frac in sorted(fractions.items()):
+        cond = (F.col(group_col) == grp) & (h < F.lit(_keep_threshold(frac)))
+        expr = cond if expr is None else expr | cond
+    other = (~F.col(group_col).isin(*fractions.keys())
+             & (h < F.lit(_keep_threshold(default))))
+    expr = other if expr is None else expr | other
+    return df.where(expr)
+
+
+def stratified_sample_sql(table: str, group_col: str,
+                          fractions: dict[str, float], id_col: str,
+                          default: float = 0.0,
+                          select: str = "*") -> str:
+    """DuckDB twin of :func:`stratified_sample` (same md5 thresholds)."""
+    h = f"substr(md5(CAST({id_col} AS VARCHAR)), 1, {HASH_WIDTH})"
+    arms = [
+        f"({group_col} = '{grp}' AND {h} < '{_keep_threshold(frac)}')"
+        for grp, frac in sorted(fractions.items())
+    ]
+    groups = ", ".join(f"'{g}'" for g in fractions)
+    arms.append(
+        f"({group_col} NOT IN ({groups}) AND {h} < '{_keep_threshold(default)}')"
+    )
+    return f"SELECT {select} FROM {table} WHERE " + " OR ".join(arms)
+
+
+def pack_sequences(df: DataFrame, id_col: str, token_col: str,
+                   max_tokens: int, n_shards: int = 64) -> DataFrame:
+    """Concat-and-chunk packing plan: returns (id, shard, bin_id,
+    offset, n_tokens) — document ``id`` begins at ``offset`` tokens
+    into window ``bin_id`` of its shard.
+
+    Shard = md5-hash of the id mod ``n_shards`` (deterministic, order-
+    free); within a shard, documents concatenate in (hash, id) order —
+    the hash prefix makes the order a deterministic shuffle, so
+    adjacent documents are unrelated (packing's usual decorrelation
+    requirement) without any rand(). One shuffle (into the per-shard
+    window); window state per partition is the shard's running sum —
+    O(1) memory per row.
+    """
+    h = F.md5(F.col(id_col).cast("string"))
+    shard = (F.conv(F.substring(h, 1, 6), 16, 10).cast("long")
+             % n_shards).cast("int")
+    w = (Window.partitionBy("shard").orderBy("_h", id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    out = (
+        df.select(F.col(id_col), F.col(token_col).alias("n_tokens"),
+                  h.alias("_h"), shard.alias("shard"))
+        .withColumn("_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .select(
+            id_col, "shard",
+            (F.col("_before") / max_tokens).cast("long").alias("bin_id"),
+            (F.col("_before") % max_tokens).cast("long").alias("offset"),
+            "n_tokens",
+        )
+    )
+    return out
+
+
+def pack_sequences_sql(table: str, id_col: str, token_expr: str,
+                       max_tokens: int, n_shards: int = 64) -> str:
+    """DuckDB twin of :func:`pack_sequences` (same hash shard/order)."""
+    h = f"md5(CAST({id_col} AS VARCHAR))"
+    shard = (f"CAST(CAST('0x' || substr({h}, 1, 6) AS BIGINT)"
+             f" % {n_shards} AS INTEGER)")
+    return f"""
+SELECT {id_col}, shard,
+  CAST(FLOOR(bef / {max_tokens}) AS BIGINT) AS bin_id,
+  CAST(bef % {max_tokens} AS BIGINT) AS offset,
+  n_tokens
+FROM (
+  SELECT {id_col}, {shard} AS shard, {token_expr} AS n_tokens, {h} AS h,
+    COALESCE(SUM({token_expr}) OVER (
+      PARTITION BY {shard} ORDER BY {h}, {id_col}
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+  FROM {table})
+""".strip()

@@ -568,6 +568,64 @@ def _sql_minhash_pairs():
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive dedup clustering: connected components over the
+    minhash candidate pairs; singletons are their own keeper."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = D.minhash_lsh_pairs(d, "doc_id", bands=8)
+    return D.dedup_clusters(pairs, all_ids=d, id_col="doc_id")
+
+
+def _sql_dedup_clusters():
+    return D.dedup_clusters_sql(
+        _sql_minhash_pairs(), id_col="doc_id",
+        all_ids_sql="SELECT doc_id FROM documents",
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic mixing-weight sample of documents by language."""
+    from ..operators.sampling import stratified_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_sample(
+        d, "lang", _MIX_FRACTIONS, "doc_id", default=_MIX_DEFAULT
+    ).select("doc_id", "lang")
+
+
+_MIX_FRACTIONS = {"en": 0.5, "de": 1.0, "zh": 0.25}
+_MIX_DEFAULT = 0.1
+
+
+def _sql_stratified_sample():
+    from ..operators.sampling import stratified_sample_sql
+
+    return stratified_sample_sql(
+        "documents", "lang", _MIX_FRACTIONS, "doc_id", default=_MIX_DEFAULT,
+        select="doc_id, lang",
+    )
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk packing plan for 512-token training windows."""
+    from ..operators.sampling import pack_sequences
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_sequences(
+        d.withColumn("_nt", TX.token_count(F.col("text"))),
+        "doc_id", "_nt", max_tokens=512, n_shards=8,
+    )
+
+
+def _sql_pack_sequences():
+    from ..operators.sampling import pack_sequences_sql
+
+    return pack_sequences_sql(
+        "documents", "doc_id", TX.token_count_sql("text"),
+        max_tokens=512, n_shards=8,
+    )
+
+
 def q_simhash_groups(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return D.simhash_dup_groups(d, "doc_id")
@@ -1032,6 +1090,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": q_fingerprint,
     "jaccard_topk": q_jaccard_topk,
     "minhash_pairs": q_minhash_pairs,
+    "dedup_clusters": q_dedup_clusters,
+    "stratified_sample": q_stratified_sample,
+    "pack_sequences": q_pack_sequences,
     "simhash_groups": q_simhash_groups,
     "cosine_topk": q_cosine_topk,
     "lsh_histogram": q_lsh_histogram,
@@ -1075,6 +1136,9 @@ ORACLES: dict[str, str] = {
     "fingerprint": SQL_fingerprint,
     "jaccard_topk": _sql_jaccard_topk(),
     "minhash_pairs": _sql_minhash_pairs(),
+    "dedup_clusters": _sql_dedup_clusters(),
+    "stratified_sample": _sql_stratified_sample(),
+    "pack_sequences": _sql_pack_sequences(),
     "simhash_groups": _sql_simhash_groups(),
     "cosine_topk": SQL_cosine_topk,
     "lsh_histogram": _sql_lsh_histogram(),

@@ -301,3 +301,64 @@ def test_winnow_fingerprints_properties(spark):
     assert sets[0] == sets[1]
     assert sets[0] & sets[2]           # shifted common block still shares
     assert not (sets[0] & sets[3])     # unrelated: no shared fingerprints
+
+
+def test_dedup_clusters_transitive(spark):
+    """Min-label propagation finds transitive clusters: a 5-node path
+    graph (diameter 4 — forces several propagation rounds), a triangle,
+    and singletons; no cache entry outlives the call."""
+    pairs = spark.createDataFrame(pd.DataFrame({
+        "id_a": [1, 2, 3, 4, 10, 10, 11],
+        "id_b": [2, 3, 4, 5, 11, 12, 12],
+    }))
+    allv = spark.createDataFrame(pd.DataFrame({"doc_id": list(range(1, 6)) + [10, 11, 12, 99]}))
+    from osmnightwatch_spark.operators.dedup import dedup_clusters
+
+    out = dedup_clusters(pairs, all_ids=allv).toPandas().set_index("doc_id").keeper_id
+    assert all(out[i] == 1 for i in range(1, 6))       # path collapses to min
+    assert all(out[i] == 10 for i in (10, 11, 12))     # triangle
+    assert out[99] == 99                               # singleton
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_stratified_sample_deterministic_and_isolated(spark):
+    """Hash-threshold sampling: deterministic across runs, per-group
+    rate within tolerance, and changing one group's fraction leaves
+    every other group's kept set bit-identical."""
+    from osmnightwatch_spark.operators.sampling import stratified_sample
+
+    n = 4000
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(n),
+        "grp": ["a" if i % 2 else "b" for i in range(n)],
+    }))
+    s1 = stratified_sample(df, "grp", {"a": 0.5, "b": 0.2}, "doc_id").toPandas()
+    s2 = stratified_sample(df, "grp", {"a": 0.5, "b": 0.2}, "doc_id").toPandas()
+    assert sorted(s1.doc_id) == sorted(s2.doc_id)
+    ra = len(s1[s1.grp == "a"]) / (n / 2)
+    rb = len(s1[s1.grp == "b"]) / (n / 2)
+    assert abs(ra - 0.5) < 0.05 and abs(rb - 0.2) < 0.05
+    # bump only group a: group b's selection must not move at all
+    s3 = stratified_sample(df, "grp", {"a": 0.9, "b": 0.2}, "doc_id").toPandas()
+    assert sorted(s3[s3.grp == "b"].doc_id) == sorted(s1[s1.grp == "b"].doc_id)
+    assert set(s1[s1.grp == "a"].doc_id) <= set(s3[s3.grp == "a"].doc_id)
+
+
+def test_pack_sequences_reconstructs_cumsum(spark):
+    """Packing invariants: within every shard, sorting by (bin, offset)
+    reproduces the running token sum; offsets stay < max_tokens; the
+    assignment is deterministic and gap-free."""
+    from osmnightwatch_spark.operators.sampling import pack_sequences
+
+    rng = np.random.default_rng(5)
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(500),
+        "nt": rng.integers(10, 400, 500),
+    }))
+    out = pack_sequences(df, "doc_id", "nt", max_tokens=512, n_shards=4).toPandas()
+    assert len(out) == 500 and (out.offset < 512).all() and (out.offset >= 0).all()
+    for _, g in out.groupby("shard"):
+        g = g.sort_values(["bin_id", "offset", "doc_id"]).reset_index(drop=True)
+        start = g.bin_id * 512 + g.offset
+        expect = np.concatenate([[0], np.cumsum(g.n_tokens)[:-1]])
+        assert (start.to_numpy() == expect).all()
