@@ -429,3 +429,73 @@ reach(node, label) AS (
 SELECT node AS {id_col}, CAST(min(label) AS BIGINT) AS keeper_id
 FROM reach GROUP BY node
 """.strip()
+
+
+def decontaminate(train: DataFrame, benchmark: DataFrame,
+                  id_col: str = "doc_id", text: str = "text",
+                  k: int = 8, w: int = 16,
+                  min_shared: int = 2,
+                  min_shared_frac: float = 0.0) -> DataFrame:
+    """Benchmark decontamination: drop training documents whose
+    winnowing fingerprints overlap the benchmark set's — the eval-
+    leakage guard of a pretraining pipeline (position-robust: embedded
+    or paraphrased-in-place benchmark passages still match).
+
+    Two composable rules (a doc is dropped when it trips BOTH):
+
+    * ``min_shared`` — absolute count of shared fingerprints (the
+      GPT-3-style "any long n-gram collision" rule; right for real
+      corpora where an innocent collision is rare);
+    * ``min_shared_frac`` — shared / total fingerprints of the doc
+      (near-clone detector; right when the domain's base collision
+      rate is high and only mostly-benchmark docs should drop).
+
+    Returns the SURVIVING train rows (original columns). Scale shape:
+    both fingerprint sets are winnow explodes; the contamination probe
+    is an equi-join on fingerprint. The benchmark side is eval-suite
+    sized (thousands of docs — dim-like, broadcastable); hot
+    fingerprints fan out train×benchmark per fingerprint, bounded by
+    the winnowing window's 1/w selection density. The final drop is a
+    left_anti join on id (no row of train is ever widened).
+    """
+    tf = winnow_fingerprints(train, id_col, text, k, w)
+    bf = (winnow_fingerprints(benchmark, id_col, text, k, w)
+          .select("fingerprint").distinct())
+    totals = tf.groupBy(id_col).agg(F.count(F.lit(1)).alias("_total"))
+    contaminated = (
+        tf.join(F.broadcast(bf), "fingerprint")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .join(totals, id_col)
+        .where(
+            (F.col("n_shared") >= min_shared)
+            & (F.col("n_shared") >= F.lit(min_shared_frac) * F.col("_total"))
+        )
+        .select(id_col)
+    )
+    return train.join(contaminated, id_col, "left_anti")
+
+
+def decontaminate_sql(train_table: str, benchmark_sql: str,
+                      id_col: str = "doc_id", text: str = "text",
+                      k: int = 8, w: int = 16,
+                      min_shared: int = 2,
+                      min_shared_frac: float = 0.0,
+                      select: str = "*") -> str:
+    """DuckDB twin of :func:`decontaminate` (same winnow fingerprints
+    via :func:`winnow_sql`, same two-rule threshold)."""
+    tfp = winnow_sql(train_table, id_col, text, k, w)
+    bfp = winnow_sql(f"({benchmark_sql})", id_col, text, k, w)
+    return f"""
+WITH tf AS ({tfp}), bf AS (SELECT DISTINCT fingerprint FROM ({bfp})),
+tot AS (SELECT {id_col}, COUNT(*) AS total FROM tf GROUP BY 1),
+bad AS (
+  SELECT s.{id_col} FROM (
+    SELECT {id_col}, COUNT(*) AS n_shared FROM tf JOIN bf USING (fingerprint)
+    GROUP BY {id_col}) s
+  JOIN tot USING ({id_col})
+  WHERE s.n_shared >= {min_shared}
+    AND s.n_shared >= {min_shared_frac!r} * tot.total)
+SELECT {select} FROM {train_table}
+WHERE {id_col} NOT IN (SELECT {id_col} FROM bad)
+""".strip()

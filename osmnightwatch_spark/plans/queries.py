@@ -626,6 +626,30 @@ def _sql_pack_sequences():
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination, near-clone rule: training docs whose
+    winnow-fingerprint overlap with the held-out benchmark split is
+    ≥ 90% of their own fingerprints are dropped (the generator's tiny
+    shared vocab makes absolute-count rules degenerate — every doc
+    shares a few fingerprints — so the registered query demonstrates
+    the ratio rule; the absolute GPT-3-style rule is unit-tested)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    train = d.where(F.col("doc_id") % 20 != 7)
+    bench = d.where(F.col("doc_id") % 20 == 7)
+    return D.decontaminate(
+        train, bench, min_shared=1, min_shared_frac=0.9
+    ).select("doc_id", "lang")
+
+
+def _sql_decontaminate():
+    return D.decontaminate_sql(
+        "(SELECT * FROM documents WHERE doc_id % 20 <> 7)",
+        "SELECT * FROM documents WHERE doc_id % 20 = 7",
+        min_shared=1, min_shared_frac=0.9,
+        select="doc_id, lang",
+    )
+
+
 def q_simhash_groups(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return D.simhash_dup_groups(d, "doc_id")
@@ -1093,6 +1117,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "stratified_sample": q_stratified_sample,
     "pack_sequences": q_pack_sequences,
+    "decontaminate": q_decontaminate,
     "simhash_groups": q_simhash_groups,
     "cosine_topk": q_cosine_topk,
     "lsh_histogram": q_lsh_histogram,
@@ -1139,6 +1164,7 @@ ORACLES: dict[str, str] = {
     "dedup_clusters": _sql_dedup_clusters(),
     "stratified_sample": _sql_stratified_sample(),
     "pack_sequences": _sql_pack_sequences(),
+    "decontaminate": _sql_decontaminate(),
     "simhash_groups": _sql_simhash_groups(),
     "cosine_topk": SQL_cosine_topk,
     "lsh_histogram": _sql_lsh_histogram(),

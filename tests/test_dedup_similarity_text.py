@@ -362,3 +362,27 @@ def test_pack_sequences_reconstructs_cumsum(spark):
         start = g.bin_id * 512 + g.offset
         expect = np.concatenate([[0], np.cumsum(g.n_tokens)[:-1]])
         assert (start.to_numpy() == expect).all()
+
+
+def test_decontaminate_drops_leaked_docs(spark):
+    """A train doc containing a verbatim benchmark passage is dropped;
+    clean docs survive; a single shared fingerprint (< min_shared)
+    survives the threshold."""
+    bench_text = ("the capital of france is paris and the capital of "
+                  "italy is rome which everyone knows very well indeed")
+    train = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "intro chatter then " + bench_text + " plus an outro here",
+            "totally unrelated prose about query engines and shuffles "
+            "running across many executors in a cluster somewhere",
+            "more unrelated text that has nothing in common with evals "
+            "but talks about partitions and broadcast joins at length",
+        ],
+    }))
+    bench = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [100], "text": [bench_text]}))
+    from osmnightwatch_spark.operators.dedup import decontaminate
+
+    kept = decontaminate(train, bench).toPandas()
+    assert sorted(kept.doc_id) == [2, 3]

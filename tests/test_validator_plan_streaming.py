@@ -390,3 +390,24 @@ def test_arrow_batch_pin_and_postshuffle_pixel_identity(spark):
     shuffled = imgs.repartition(16, "phash")  # full-payload exchange
     after = dict(shuffled.mapInPandas(digest, schema).collect())
     assert len(direct) > 1000 and direct == after
+
+
+def test_lang_ngram_and_sampling_plan_shapes(spark):
+    """New round-3 ops stay JVM-native: lang scoring is one broadcast
+    profile join + one groupBy (no Python anywhere); packing is a
+    single exchange into per-shard windows."""
+    from osmnightwatch_spark.operators import text as TX
+    from osmnightwatch_spark.operators.sampling import pack_sequences
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    model = TX.train_lang_ngrams(d)
+    plan = _plan_of(TX.lang_ngram_guess(d, model))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+    packed = pack_sequences(
+        d.withColumn("_nt", TX.token_count(F.col("text"))),
+        "doc_id", "_nt", max_tokens=512, n_shards=8)
+    pplan = _plan_of(packed)
+    assert pplan.count("Exchange hashpartitioning") == 1  # one shard shuffle
+    assert "ArrowEvalPython" not in pplan
