@@ -379,34 +379,48 @@ def dedup_clusters(pairs: DataFrame, all_ids: DataFrame | None = None,
         nodes = nodes.unionByName(
             all_ids.select(F.col(id_col).alias("node"))
         ).distinct()
-    labels = nodes.select("node", F.col("node").alias("label")).persist()
-    labels.count()
+    # labels is the per-round iteration state: checkpoint it each round
+    # (not persist) so the plan stays O(1)-deep — with persist alone,
+    # planning time grows linearly with rounds (measured: round 6 took
+    # 8 s vs 1-2 s for rounds 1-5, purely in the optimizer)
+    labels = nodes.select(
+        "node", F.col("node").alias("label")
+    ).localCheckpoint(eager=True)
     for _ in range(max_iters):
         # candidate label per node: min over own label and neighbors'
         neigh = (
             sym.join(labels.withColumnRenamed("node", "dst"), "dst")
             .select(F.col("src").alias("node"), "label")
         )
-        new_labels = (
+        stepped = (
             labels.unionByName(neigh)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .persist()
         )
+        # pointer jumping (path doubling): also adopt the label OF my
+        # label — reachable-min distance doubles per round, so chains
+        # converge in O(log diameter) rounds instead of O(diameter)
+        jumped = stepped.join(
+            stepped.select(F.col("node").alias("label"),
+                           F.col("label").alias("_l2")),
+            "label", "left",
+        ).select(
+            "node",
+            F.least(F.col("label"), F.coalesce(F.col("_l2"), F.col("label")))
+            .alias("label"),
+        )
+        new_labels = jumped.localCheckpoint(eager=True)
         changed = (
             new_labels.join(labels.withColumnRenamed("label", "_old"), "node")
             .where(F.col("label") != F.col("_old"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    out = labels.select(
+    return labels.select(
         F.col("node").alias(id_col), F.col("label").alias("keeper_id")
-    ).localCheckpoint(eager=True)
-    labels.unpersist()
-    return out
+    )
 
 
 def dedup_clusters_sql(pairs_sql: str, id_col: str = "doc_id",
