@@ -216,6 +216,54 @@ def attach_cell(df, res: int, lon: str = "lon", lat: str = "lat",
     return stage.withColumn(out, cell).drop(gx, gy)
 
 
+def ring1_cells_col(df, res: int, lon: str = "lon", lat: str = "lat",
+                    out: str = "ring1"):
+    """``df`` + array column of the 3×3 (ring-1) neighbor cell ids —
+    fully native (JVM, codegen), bit-identical to
+    ``ring_neighbors(cell_of(lon, lat, res), k=1)``: longitude wraps
+    (``pmod`` — Spark's ``%`` is truncated and would go negative at
+    the antimeridian, numpy's is floored), latitude clamps at the
+    poles (duplicate ids possible there — callers dedup with
+    ``array_distinct``).
+
+    Scale rationale: the kNN probe side explodes ×9 through this; at
+    self-kNN scale the probe table is the full corpus, so an Arrow
+    round-trip here would ship every probe row to Python and back.
+    Shifted grid coordinates are materialized as intermediate columns
+    (same CollapseProject trick as :func:`attach_cell`) so the 18
+    bit-interleave chains reference cheap column refs.
+    """
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in 0..{MAX_RES}, got {res}")
+    n = 1 << res
+    gx, gy = f"__r1gx_{out}", f"__r1gy_{out}"
+    stage = (
+        df.withColumn(gx, _grid_col(F.col(lon), -180.0, 360.0, res))
+        .withColumn(gy, _grid_col(F.col(lat), -90.0, 180.0, res))
+    )
+    xcols, ycols = {}, {}
+    for d in (-1, 0, 1):
+        xcols[d] = f"__r1x{d + 1}_{out}"
+        ycols[d] = f"__r1y{d + 1}_{out}"
+        stage = stage.withColumn(
+            xcols[d], F.pmod(F.col(gx) + F.lit(d), F.lit(n))
+        ).withColumn(
+            ycols[d],
+            F.greatest(F.lit(0), F.least(F.lit(n - 1), F.col(gy) + F.lit(d))),
+        )
+    base = F.lit(res << _RES_SHIFT)
+    cells = [
+        base.bitwiseOR(_part1by1_col(F.col(xcols[dx])))
+        .bitwiseOR(F.shiftleft(_part1by1_col(F.col(ycols[dy])), 1))
+        .cast("long")
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    ]
+    return stage.withColumn(out, F.array(*cells)).drop(
+        gx, gy, *xcols.values(), *ycols.values()
+    )
+
+
 def parent_col(cell: "Column", steps: int = 1) -> "Column":
     res = F.shiftrightunsigned(cell, _RES_SHIFT)
     morton = cell.bitwiseAND(F.lit((1 << _RES_SHIFT) - 1))

@@ -138,11 +138,26 @@ def knn_join(probes: DataFrame, candidates: DataFrame, k: int,
     w = Window.partitionBy("_pid").orderBy(F.col("dist2").asc(), F.col("_cid").asc())
 
     def ring_topk(p_sub: DataFrame, r: int) -> DataFrame:
-        pc = C.attach_cell(p_sub, res, lon="_plon", lat="_plat", out="_pcell")
-        exploded = pc.withColumn(
-            "_ccell",
-            F.explode(F.array_distinct(_ring_cells(F.col("_pcell"), F.lit(r)))),
-        ).drop("_pcell")
+        if r == 1:
+            # common round: fully native 3×3 ring (no Python anywhere
+            # in the plan) — at self-kNN scale the probe side is the
+            # whole corpus and an Arrow round-trip here would be the
+            # dominant transfer
+            pc = C.ring1_cells_col(p_sub, res, lon="_plon", lat="_plat",
+                                   out="_ring")
+            exploded = pc.withColumn(
+                "_ccell", F.explode(F.array_distinct(F.col("_ring")))
+            ).drop("_ring")
+        else:
+            # expansion rounds run on the (provably small) residue —
+            # the vectorized ring UDF handles arbitrary r there
+            pc = C.attach_cell(p_sub, res, lon="_plon", lat="_plat",
+                               out="_pcell")
+            exploded = pc.withColumn(
+                "_ccell",
+                F.explode(F.array_distinct(_ring_cells(F.col("_pcell"),
+                                                       F.lit(r)))),
+            ).drop("_pcell")
         paired = exploded.join(c, "_ccell").where(F.col("_pid") != F.col("_cid"))
         return (
             paired.withColumn("dist2", d2)

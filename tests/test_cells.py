@@ -112,3 +112,28 @@ def test_res_validation():
         C.cell_of([0.0], [0.0], 29)
     with pytest.raises(ValueError):
         C.cell_sql("lon", "lat", -1)
+
+
+def test_ring1_cells_col_matches_numpy(spark):
+    """Native 3×3 ring column is bit-identical (as a set per row) to
+    ring_neighbors(k=1), including antimeridian wrap and pole clamp."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(9)
+    lon = np.concatenate([rng.uniform(-180, 180, 300),
+                          [-179.99, 179.99, 0.0, -180.0]])
+    lat = np.concatenate([rng.uniform(-90, 90, 300),
+                          [89.99, -89.99, 0.0, 90.0]])
+    pdf = pd.DataFrame({"i": np.arange(len(lon)), "lon": lon, "lat": lat})
+    for res in (3, 6, 10):
+        got = (
+            C.ring1_cells_col(spark.createDataFrame(pdf), res, out="ring")
+            .select("i", F.array_sort(F.array_distinct("ring")).alias("ring"))
+            .toPandas().set_index("i").ring
+        )
+        cells = C.cell_of(lon, lat, res)
+        exp = C.ring_neighbors(cells, 1)
+        for i in range(len(lon)):
+            assert sorted(set(int(v) for v in exp[i])) == list(got[i]), (res, i)

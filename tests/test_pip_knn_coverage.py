@@ -215,3 +215,19 @@ def test_knn_auto_res_degenerate_dense(spark):
         ["probe_id", "rank"]).reset_index(drop=True)
     assert got[["probe_id", "cand_id", "rank"]].equals(
         exp[["probe_id", "cand_id", "rank"]])
+
+
+def test_knn_ring1_plan_fully_native(spark):
+    """The common kNN round (ring-1) has NO Python in the plan — the
+    probe-side 3×3 expansion is the native ring1_cells_col."""
+    pts = pd.DataFrame({
+        "probe_id": np.arange(50), "lon": np.linspace(-170, 170, 50),
+        "lat": np.linspace(-80, 80, 50)})
+    probes = spark.createDataFrame(pts)
+    cands = spark.createDataFrame(pts.rename(columns={"probe_id": "cand_id"}))
+    # exact=False isolates the candidate round (the exact plan keeps
+    # the ring-8 EXPANSION branch, whose arbitrary-r UDF only ever
+    # runs on the provably-small residue)
+    lazy = knn_join(probes, cands, k=3, res=5, exact=False)
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
