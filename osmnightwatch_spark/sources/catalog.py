@@ -141,6 +141,37 @@ class Table:
         return snap
 
 
+    # -- maintenance --------------------------------------------------------
+
+    def compact(self, spark: SparkSession,
+                target_file_bytes: int = 128 * 1024 * 1024,
+                min_files: int = 2) -> int | None:
+        """Iceberg ``rewrite_data_files`` analog: coalesce the current
+        snapshot's many small files into ~``target_file_bytes`` files
+        and commit the rewrite as a NEW snapshot (same rows, fewer
+        files). The old snapshot's manifest and data files stay on
+        disk — time travel via ``read(snapshot=...)`` still works and
+        a concurrent reader of the old pointer is undisturbed.
+
+        Why it matters at 100 TB: a long-running append stream (the
+        replication loop) accretes per-batch small files; scan tasks,
+        driver file listings and footer reads all scale with file
+        count, so periodic compaction is what keeps an
+        ever-appending table scannable. No-op (returns None) when the
+        snapshot already has < ``min_files`` files.
+        """
+        m = self.manifest()
+        if m is None or len(m["files"]) < min_files:
+            return None
+        n_out = max(1, -(-m["metrics"]["total_bytes"] // target_file_bytes))
+        df = self.read(spark).coalesce(int(n_out))
+        return self.commit(df, lineage={
+            "op": "compact",
+            "source_snapshot": m["snapshot"],
+            "files_before": len(m["files"]),
+        })
+
+
 def _parquet_rows(path: str) -> int:
     import pyarrow.parquet as pq
 

@@ -369,3 +369,28 @@ def test_catalog_append_and_changelog_read(spark, tmp_path):
     assert t.read_changes(spark, 3, 3).count() == 0
     # from the beginning == full read
     assert t.read_changes(spark, 0, 2).count() == 8
+
+
+def test_catalog_compact(spark, tmp_path):
+    """compact() rewrites a many-file snapshot into few files as a NEW
+    snapshot with identical rows; the old snapshot stays time-travel
+    readable; tiny tables are a no-op."""
+    from osmnightwatch_spark.sources.catalog import Table
+
+    t = Table(str(tmp_path / "tbl"))
+    df = spark.range(0, 10_000).withColumnRenamed("id", "v").repartition(16)
+    snap1 = t.commit(df, lineage={"op": "load"})
+    assert t.manifest()["metrics"]["n_files"] >= 16
+
+    snap2 = t.compact(spark, target_file_bytes=10**9)  # everything → 1 file
+    assert snap2 == snap1 + 1
+    m2 = t.manifest()
+    assert m2["metrics"]["n_files"] == 1
+    assert m2["metrics"]["total_rows"] == 10_000
+    assert m2["lineage"] == {"op": "compact", "source_snapshot": snap1,
+                             "files_before": t.manifest(snap1)["metrics"]["n_files"]}
+    # rows identical, old snapshot still readable
+    assert t.read(spark).agg(F.sum("v")).collect()[0][0] == \
+        t.read(spark, snap1).agg(F.sum("v")).collect()[0][0]
+    # already compact → no-op
+    assert t.compact(spark) is None
