@@ -99,3 +99,80 @@ def test_stitch_two_disjoint_rings(n, seed, seed2, cuts):
     chains = _chains(r1, cuts, 0, 1) + _chains(G.snap(r2), cuts, 0, 2)
     rings, err = _stitch_rings(chains)
     assert err is None and len(rings) == 2
+
+
+# ---------------------------------------------------------------------------
+# lenient (inner-role) stitcher: NTS Polygonizer cleanup semantics
+# ---------------------------------------------------------------------------
+
+from osmnightwatch_spark.operators.assembly import _stitch_rings_lenient  # noqa: E402
+
+
+def _norm_ring(r: np.ndarray) -> tuple:
+    """Rotation/direction-invariant canonical form of a closed ring."""
+    body = r[:-1]
+    i = int(np.lexsort((body[:, 1], body[:, 0]))[0])
+    fwd = np.roll(body, -i, axis=0)
+    rev = np.roll(body[::-1], -int(np.lexsort((body[::-1][:, 1], body[::-1][:, 0]))[0]), axis=0)
+    return min(tuple(map(tuple, fwd)), tuple(map(tuple, rev)))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(6, 30),
+    seed=st.integers(0, 10_000),
+    cuts=st.lists(st.integers(0, 29), min_size=2, max_size=6),
+    rev_mask=st.integers(0, 255),
+    order_seed=st.integers(0, 1000),
+)
+def test_lenient_recovers_ring_no_dangle(n, seed, cuts, rev_mask, order_seed):
+    """Clean cut ring → same recovery as the strict stitcher."""
+    ring = _ring(n, seed)
+    chains = _chains(ring, cuts, rev_mask, order_seed)
+    rings, dangle = _stitch_rings_lenient(chains)
+    assert not dangle and len(rings) == 1
+    assert _norm_ring(rings[0]) == _norm_ring(np.vstack([ring, ring[:1]]))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(6, 30),
+    seed=st.integers(0, 10_000),
+    cuts=st.lists(st.integers(0, 29), min_size=2, max_size=6),
+    order_seed=st.integers(0, 1000),
+)
+def test_lenient_reports_dangle_keeps_ring(n, seed, cuts, order_seed):
+    """Ring + a dangling tail chain: dangle reported AND the ring still
+    recovered (the reference checks ring validity before failing on
+    the dangle, so the rings must exist)."""
+    ring = _ring(n, seed)
+    chains = _chains(ring, cuts, 0, order_seed)
+    tail = G.snap(np.array([[10.0, 10.0], [11.0, 11.0]]))
+    tail[0] = ring[0]  # attach to a ring vertex; far end is free
+    rings, dangle = _stitch_rings_lenient(chains + [tail])
+    assert dangle and len(rings) == 1
+    assert _norm_ring(rings[0]) == _norm_ring(np.vstack([ring, ring[:1]]))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(6, 20),
+    seed=st.integers(0, 10_000),
+    seed2=st.integers(10_001, 20_000),
+    order_seed=st.integers(0, 1000),
+)
+def test_lenient_drops_bridge_keeps_both_loops(n, seed, seed2, order_seed):
+    """Two closed loops joined by a bridge chain (the dumbbell): both
+    loops become rings, the bridge silently drops, no dangle — NTS
+    DeleteCutEdges behavior."""
+    r1 = _ring(n, seed)
+    r2 = _ring(n, seed2) + np.array([10.0, 0.0])  # disjoint
+    bridge = G.snap(np.stack([r1[0], r2[0]]))
+    chains = [np.vstack([r1, r1[:1]]), np.vstack([r2, r2[:1]]), bridge]
+    rng = np.random.default_rng(order_seed)
+    rng.shuffle(chains)
+    rings, dangle = _stitch_rings_lenient(chains)
+    assert not dangle and len(rings) == 2
+    got = {_norm_ring(r) for r in rings}
+    exp = {_norm_ring(np.vstack([r1, r1[:1]])), _norm_ring(np.vstack([r2, r2[:1]]))}
+    assert got == exp
