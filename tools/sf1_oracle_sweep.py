@@ -117,6 +117,54 @@ def knn_sweep() -> bool:
     return ok
 
 
+def clusters_fixpoint_sweep() -> bool:
+    """dedup_clusters at sf1 (50k docs → ~18M candidate pairs): the
+    recursive-CTE oracle cannot transitively close 18M edges, so the
+    check is the four properties that UNIQUELY characterize
+    min-label connected components (each verified distributed):
+
+    1. edge consistency — every pair's endpoints share a label;
+    2. minimality bound — label(x) ≤ x;
+    3. canonicality — label(label(x)) = label(x) (representatives
+       label themselves);
+    4. totality — every doc id labeled exactly once.
+
+    Any labeling satisfying 1-4 that is also a fixpoint of one more
+    min-propagation round (which the operator's convergence loop
+    guarantees by construction) equals exact CC-with-min-label.
+    """
+    from pyspark.sql import functions as F
+
+    from osmnightwatch_spark.operators.dedup import (
+        dedup_clusters, minhash_lsh_pairs,
+    )
+    from osmnightwatch_spark.session import get_spark
+
+    spark = get_spark("sf1-cc", cores=16)
+    t0 = time.time()
+    d = spark.read.parquet(f"{DST}/documents.parquet")
+    pairs = minhash_lsh_pairs(d, "doc_id").localCheckpoint(eager=True)
+    lab = dedup_clusters(pairs, all_ids=d)
+    la = lab.select(F.col("doc_id").alias("id_a"), F.col("keeper_id").alias("ka"))
+    lb = lab.select(F.col("doc_id").alias("id_b"), F.col("keeper_id").alias("kb"))
+    edge_bad = (pairs.join(la, "id_a").join(lb, "id_b")
+                .where(F.col("ka") != F.col("kb")).count())
+    min_bad = lab.where(F.col("keeper_id") > F.col("doc_id")).count()
+    canon_bad = (
+        lab.join(lab.select(F.col("doc_id").alias("keeper_id"),
+                            F.col("keeper_id").alias("kk")), "keeper_id")
+        .where(F.col("kk") != F.col("keeper_id")).count()
+    )
+    n_docs, n_lab = d.count(), lab.count()
+    n_pairs = pairs.count()
+    ok = edge_bad == 0 and min_bad == 0 and canon_bad == 0 and n_docs == n_lab
+    print(f"{'OK  ' if ok else 'FAIL'}  dedup_clusters@sf1: docs={n_lab} "
+          f"pairs={n_pairs} edge_bad={edge_bad} min_bad={min_bad} "
+          f"canon_bad={canon_bad} [{time.time()-t0:.1f}s]")
+    spark.stop()
+    return ok
+
+
 def main() -> int:
     generate()
     print(f"sf1 synth ready at {DST}")
@@ -128,7 +176,8 @@ def main() -> int:
         cwd="/root/repo",
     ).returncode
     ok = knn_sweep()
-    return 0 if (rc == 0 and ok) else 1
+    ok2 = clusters_fixpoint_sweep()
+    return 0 if (rc == 0 and ok and ok2) else 1
 
 
 if __name__ == "__main__":
