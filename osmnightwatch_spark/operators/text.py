@@ -9,7 +9,10 @@ engines produce bit-identical results:
   (``length(x) - length(replace(x,' ','')) + 1``), not regex (regex
   dialects differ between engines);
 * quality features — pure length/replace arithmetic;
-* language-ID — deterministic marker-token frequency heuristic;
+* language-ID — multinomial naive Bayes over token trigrams with
+  integer-quantized log weights (see the section comment below);
+* LM quality score — CCNet-style mean log-probability under the same
+  trigram model, for perplexity filtering;
 * fingerprinting — ``md5`` of the text (identical bytes → identical
   hex in every engine).
 """
@@ -250,3 +253,71 @@ def bpe_token_count_sql(text: str) -> str:
         "CAST(len(regexp_extract_all("
         f"{text}, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS BIGINT)"
     )
+
+
+def lm_score(df: DataFrame, model: LangNgramModel, id_col: str = "doc_id",
+             text: str = "text", n: int = LANG_NGRAM_N,
+             out: str = "lm_score_q") -> DataFrame:
+    """CCNet-style language-model quality score: the document's mean
+    n-gram log-probability under the corpus LM, as a quantized integer
+    (higher = more typical of the corpus; gibberish and boilerplate
+    land far from the mode). The pretraining pipeline use is perplexity
+    filtering — keep documents inside a score band.
+
+    Score = floor( Σ_g w_best(g) / n_grams ) where w_best(g) is the
+    gram's best per-language quantized weight (max over languages —
+    a language-agnostic "is this natural corpus text" measure, so a
+    clean non-English doc is not penalized). Pure integer arithmetic
+    over the same broadcast profile as :func:`lang_ngram_guess`; exact
+    SQL twin below.
+    """
+    spark = df.sparkSession
+    prof = spark.createDataFrame(model.profile)
+    best_w = F.greatest(*[
+        F.coalesce(F.col(f"w_{lang}"), F.lit(model.unseen[lang]))
+        for lang in model.langs
+    ])
+    g = df.select(F.col(id_col),
+                  F.explode(F.expr(_ngram_expr(text, n))).alias("gram"))
+    j = g.join(F.broadcast(prof), "gram", "left")
+    return (
+        j.groupBy(id_col)
+        .agg(F.sum(best_w).alias("_s"), F.count(F.lit(1)).alias("_n"))
+        .select(
+            F.col(id_col),
+            F.floor(F.col("_s") / F.col("_n")).cast("long").alias(out),
+        )
+    )
+
+
+def lm_score_sql(table: str = "documents", id_col: str = "doc_id",
+                 text: str = "text", label: str = "lang",
+                 n: int = LANG_NGRAM_N, quant: int = LANG_QUANT) -> str:
+    """DuckDB twin of :func:`lm_score` (same in-SQL training as
+    :func:`lang_ngram_sql`, max-over-language weights, floored mean)."""
+    k = n - 1
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, {label} AS lang, string_split({text}, ' ') AS tk FROM {table}),
+g AS (
+  SELECT {id_col}, lang, array_to_string(tk[p:p+{k}], ' ') AS gram
+  FROM toks, UNNEST(generate_series(1, greatest(len(tk) - {k}, 1))) t(p)),
+counts AS (SELECT lang, gram, count(*) AS c FROM g GROUP BY 1, 2),
+tots AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tot FROM counts GROUP BY 1),
+vsize AS (SELECT count(DISTINCT gram) AS v FROM counts),
+w AS (
+  SELECT lang, gram, CAST(round({quant} * (ln(c + 1) - ln(tot + v))) AS BIGINT) AS w
+  FROM counts JOIN tots USING (lang) CROSS JOIN vsize),
+unseen AS (
+  SELECT lang, CAST(round({quant} * (0 - ln(tot + v))) AS BIGINT) AS uw
+  FROM tots CROSS JOIN vsize),
+bestw AS (
+  SELECT gd.{id_col}, gd.gram, max(coalesce(w.w, u.uw)) AS bw
+  FROM (SELECT {id_col}, gram, row_number() OVER () AS rid FROM g) gd
+  CROSS JOIN unseen u
+  LEFT JOIN w ON w.lang = u.lang AND w.gram = gd.gram
+  GROUP BY gd.{id_col}, gd.gram, gd.rid)
+SELECT {id_col},
+  CAST(FLOOR(CAST(sum(bw) AS DOUBLE) / count(*)) AS BIGINT) AS lm_score_q
+FROM bestw GROUP BY {id_col}
+""".strip()

@@ -517,6 +517,17 @@ def q_lang_guess(spark, sf_dir):
 SQL_lang_guess = TX.lang_ngram_sql()
 
 
+def q_lm_score(spark, sf_dir):
+    """CCNet-style perplexity-filter score: mean quantized n-gram
+    log-prob under the corpus trigram LM (higher = more typical)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    model = TX.train_lang_ngrams(d)
+    return TX.lm_score(d, model)
+
+
+SQL_lm_score = TX.lm_score_sql()
+
+
 def q_fingerprint(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return TX.with_fingerprint(d).select("doc_id", "fingerprint")
@@ -1111,6 +1122,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "token_quality": q_token_quality,
     "lang_guess": q_lang_guess,
+    "lm_score": q_lm_score,
     "fingerprint": q_fingerprint,
     "jaccard_topk": q_jaccard_topk,
     "minhash_pairs": q_minhash_pairs,
@@ -1158,6 +1170,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact": SQL_dedup_exact,
     "token_quality": _sql_token_quality(),
     "lang_guess": SQL_lang_guess,
+    "lm_score": SQL_lm_score,
     "fingerprint": SQL_fingerprint,
     "jaccard_topk": _sql_jaccard_topk(),
     "minhash_pairs": _sql_minhash_pairs(),

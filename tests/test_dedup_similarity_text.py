@@ -386,3 +386,16 @@ def test_decontaminate_drops_leaked_docs(spark):
 
     kept = decontaminate(train, bench).toPandas()
     assert sorted(kept.doc_id) == [2, 3]
+
+
+def test_lm_score_separates_gibberish(spark):
+    """Corpus-typical documents score higher than out-of-distribution
+    gibberish under the trigram LM (the perplexity-filter property)."""
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    model = TX.train_lang_ngrams(d)
+    corpus_scores = TX.lm_score(d, model).toPandas().lm_score_q
+    probe = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0],
+        "text": ["zxqv wub blorp fnord quux zxqv wub blorp fnord quux"]}))
+    gib = TX.lm_score(probe, model).toPandas().lm_score_q.iloc[0]
+    assert gib < corpus_scores.quantile(0.01)
