@@ -321,3 +321,57 @@ SELECT {id_col},
   CAST(FLOOR(CAST(sum(bw) AS DOUBLE) / count(*)) AS BIGINT) AS lm_score_q
 FROM bestw GROUP BY {id_col}
 """.strip()
+
+
+def with_repetition(df: DataFrame, id_col: str = "doc_id",
+                    text: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals, per document:
+
+    * ``frac_distinct_pm`` — distinct tokens / total tokens (low =
+      repetitive boilerplate), integer per-mille;
+    * ``top_token_pm`` — most-frequent-token share (high = degenerate
+      repetition), integer per-mille.
+
+    One explode + two-level aggregation (token counts per doc, then
+    per-doc rollup) — all native, integer outputs via FLOOR so the SQL
+    twin is exact. Returns (id, n_tokens, frac_distinct_pm,
+    top_token_pm).
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text), " ")).alias("tok"),
+    )
+    per_tok = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_tok.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("_distinct"),
+            F.max("c").alias("_top"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.floor(F.lit(1000) * F.col("_distinct") / F.col("n_tokens"))
+            .cast("long").alias("frac_distinct_pm"),
+            F.floor(F.lit(1000) * F.col("_top") / F.col("n_tokens"))
+            .cast("long").alias("top_token_pm"),
+        )
+    )
+
+
+def repetition_sql(table: str = "documents", id_col: str = "doc_id",
+                   text: str = "text") -> str:
+    """DuckDB twin of :func:`with_repetition`."""
+    return f"""
+SELECT {id_col}, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(FLOOR(1000.0 * n_distinct / n_tokens) AS BIGINT) AS frac_distinct_pm,
+  CAST(FLOOR(1000.0 * top / n_tokens) AS BIGINT) AS top_token_pm
+FROM (
+  SELECT {id_col}, SUM(c) AS n_tokens, COUNT(*) AS n_distinct, MAX(c) AS top
+  FROM (
+    SELECT {id_col}, tok, COUNT(*) AS c
+    FROM (SELECT {id_col}, unnest(string_split({text}, ' ')) AS tok FROM {table})
+    GROUP BY 1, 2)
+  GROUP BY {id_col})
+""".strip()

@@ -528,6 +528,16 @@ def q_lm_score(spark, sf_dir):
 SQL_lm_score = TX.lm_score_sql()
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (distinct-token and
+    top-token fractions, integer per-mille)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return TX.with_repetition(d)
+
+
+SQL_repetition = TX.repetition_sql()
+
+
 def q_fingerprint(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return TX.with_fingerprint(d).select("doc_id", "fingerprint")
@@ -1123,6 +1133,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_quality": q_token_quality,
     "lang_guess": q_lang_guess,
     "lm_score": q_lm_score,
+    "repetition": q_repetition,
     "fingerprint": q_fingerprint,
     "jaccard_topk": q_jaccard_topk,
     "minhash_pairs": q_minhash_pairs,
@@ -1171,6 +1182,7 @@ ORACLES: dict[str, str] = {
     "token_quality": _sql_token_quality(),
     "lang_guess": SQL_lang_guess,
     "lm_score": SQL_lm_score,
+    "repetition": SQL_repetition,
     "fingerprint": SQL_fingerprint,
     "jaccard_topk": _sql_jaccard_topk(),
     "minhash_pairs": _sql_minhash_pairs(),

@@ -399,3 +399,17 @@ def test_lm_score_separates_gibberish(spark):
         "text": ["zxqv wub blorp fnord quux zxqv wub blorp fnord quux"]}))
     gib = TX.lm_score(probe, model).toPandas().lm_score_q.iloc[0]
     assert gib < corpus_scores.quantile(0.01)
+
+
+def test_repetition_signals(spark):
+    """Degenerate repetition scores low distinct / high top-token;
+    all-unique text scores 1000 / minimal top share."""
+    d = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["spam spam spam spam spam ham",
+                 "one two three four five six"],
+    }))
+    out = TX.with_repetition(d).toPandas().set_index("doc_id")
+    assert out.loc[1].n_tokens == 6 and out.loc[1].top_token_pm == 833
+    assert out.loc[1].frac_distinct_pm == 333
+    assert out.loc[2].frac_distinct_pm == 1000 and out.loc[2].top_token_pm == 166
