@@ -528,6 +528,44 @@ def q_lm_score(spark, sf_dir):
 SQL_lm_score = TX.lm_score_sql()
 
 
+def q_corpus_profile(spark, sf_dir):
+    """Corpus stats profile per language: doc counts, total chars,
+    exact LOWER median of n_chars (row_number pick - deterministic
+    integer semantics, no interpolation float risk), distinct
+    sources. The at-a-glance dashboard of a corpus recipe."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").asc(),
+                                           F.col("doc_id").asc())
+    ranked = d.withColumn("_rn", F.row_number().over(w))
+    med = (
+        ranked.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(ranked, "lang")
+        .where(F.col("_rn") == F.floor((F.col("n_docs") + 1) / 2))
+        .select("lang", F.col("n_chars").alias("median_chars"))
+    )
+    base = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    return base.join(med, "lang").select(
+        "lang", "n_docs", "sum_chars", "median_chars", "n_sources")
+
+
+SQL_corpus_profile = (
+    "WITH ranked AS (SELECT lang, doc_id, n_chars, row_number() OVER ("
+    "PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC) AS rn FROM documents), "
+    "med AS (SELECT r.lang, r.n_chars AS median_chars FROM ranked r JOIN "
+    "(SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1) c ON c.lang = r.lang "
+    "WHERE r.rn = CAST(FLOOR((c.n + 1) / 2) AS BIGINT)) "
+    "SELECT d.lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
+    "ANY_VALUE(m.median_chars) AS median_chars, "
+    "COUNT(DISTINCT source) AS n_sources "
+    "FROM documents d JOIN med m ON m.lang = d.lang GROUP BY d.lang"
+)
+
+
 def q_repetition(spark, sf_dir):
     """Gopher-style repetition quality signals (distinct-token and
     top-token fractions, integer per-mille)."""
@@ -1134,6 +1172,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_guess": q_lang_guess,
     "lm_score": q_lm_score,
     "repetition": q_repetition,
+    "corpus_profile": q_corpus_profile,
     "fingerprint": q_fingerprint,
     "jaccard_topk": q_jaccard_topk,
     "minhash_pairs": q_minhash_pairs,
@@ -1183,6 +1222,7 @@ ORACLES: dict[str, str] = {
     "lang_guess": SQL_lang_guess,
     "lm_score": SQL_lm_score,
     "repetition": SQL_repetition,
+    "corpus_profile": SQL_corpus_profile,
     "fingerprint": SQL_fingerprint,
     "jaccard_topk": _sql_jaccard_topk(),
     "minhash_pairs": _sql_minhash_pairs(),
