@@ -159,12 +159,23 @@ def cell_bounds(cell):
 # ---------------------------------------------------------------------------
 
 
-def _part1by1_col(c: "Column") -> "Column":
-    c = (c.bitwiseOR(F.shiftleft(c, 16))).bitwiseAND(F.lit(_M1))
-    c = (c.bitwiseOR(F.shiftleft(c, 8))).bitwiseAND(F.lit(_M2))
-    c = (c.bitwiseOR(F.shiftleft(c, 4))).bitwiseAND(F.lit(_M3))
-    c = (c.bitwiseOR(F.shiftleft(c, 2))).bitwiseAND(F.lit(_M4))
-    c = (c.bitwiseOR(F.shiftleft(c, 1))).bitwiseAND(F.lit(_M5))
+def _part1by1_col(c: "Column", bits: int = 32) -> "Column":
+    """Bit-interleave spread as a Column tree.
+
+    ``bits`` bounds the input value (< 2^bits): a spread level with
+    ``shift >= bits`` is the identity there (the shifted copy lands
+    entirely inside the level's mask-cleared zone), so it is skipped —
+    bit-identical results with a much smaller expression tree. Each
+    kept level duplicates the subtree below it, so the tree is
+    ~2^levels leaf refs: at a typical kNN res of 6, 3 levels (~8 refs)
+    instead of 5 (~32) — this Column tree is built 18× per ring-1 call
+    and driver-side analysis time was measurable (~1 s/plan) before
+    the trim.
+    """
+    for shift, mask in ((16, _M1), (8, _M2), (4, _M3), (2, _M4), (1, _M5)):
+        if bits <= shift:
+            continue
+        c = (c.bitwiseOR(F.shiftleft(c, shift))).bitwiseAND(F.lit(mask))
     return c
 
 
@@ -185,8 +196,8 @@ def cell_col(lon: "Column", lat: "Column", res: int) -> "Column":
     y = _grid_col(lat, -90.0, 180.0, res)
     return (
         F.lit(res << _RES_SHIFT)
-        .bitwiseOR(_part1by1_col(x))
-        .bitwiseOR(F.shiftleft(_part1by1_col(y), 1))
+        .bitwiseOR(_part1by1_col(x, res))
+        .bitwiseOR(F.shiftleft(_part1by1_col(y, res), 1))
         .cast("long")
     )
 
@@ -209,8 +220,8 @@ def attach_cell(df, res: int, lon: str = "lon", lat: str = "lat",
     )
     cell = (
         F.lit(res << _RES_SHIFT)
-        .bitwiseOR(_part1by1_col(F.col(gx)))
-        .bitwiseOR(F.shiftleft(_part1by1_col(F.col(gy)), 1))
+        .bitwiseOR(_part1by1_col(F.col(gx), res))
+        .bitwiseOR(F.shiftleft(_part1by1_col(F.col(gy), res), 1))
         .cast("long")
     )
     return stage.withColumn(out, cell).drop(gx, gy)
@@ -236,31 +247,44 @@ def ring1_cells_col(df, res: int, lon: str = "lon", lat: str = "lat",
     if not 0 <= res <= MAX_RES:
         raise ValueError(f"res must be in 0..{MAX_RES}, got {res}")
     n = 1 << res
+    # each layer is ONE withColumns call (one Py4J round trip + one
+    # analysis pass per layer, not per column — chained withColumn was
+    # a measurable slice of the ~1 s/plan driver-side cost)
     gx, gy = f"__r1gx_{out}", f"__r1gy_{out}"
-    stage = (
-        df.withColumn(gx, _grid_col(F.col(lon), -180.0, 360.0, res))
-        .withColumn(gy, _grid_col(F.col(lat), -90.0, 180.0, res))
-    )
-    xcols, ycols = {}, {}
+    stage = df.withColumns({
+        gx: _grid_col(F.col(lon), -180.0, 360.0, res),
+        gy: _grid_col(F.col(lat), -90.0, 180.0, res),
+    })
+    xcols = {d: f"__r1x{d + 1}_{out}" for d in (-1, 0, 1)}
+    ycols = {d: f"__r1y{d + 1}_{out}" for d in (-1, 0, 1)}
+    shifted = {}
     for d in (-1, 0, 1):
-        xcols[d] = f"__r1x{d + 1}_{out}"
-        ycols[d] = f"__r1y{d + 1}_{out}"
-        stage = stage.withColumn(
-            xcols[d], F.pmod(F.col(gx) + F.lit(d), F.lit(n))
-        ).withColumn(
-            ycols[d],
-            F.greatest(F.lit(0), F.least(F.lit(n - 1), F.col(gy) + F.lit(d))),
+        shifted[xcols[d]] = F.pmod(F.col(gx) + F.lit(d), F.lit(n))
+        shifted[ycols[d]] = F.greatest(
+            F.lit(0), F.least(F.lit(n - 1), F.col(gy) + F.lit(d))
         )
+    stage = stage.withColumns(shifted)
+    # stage the 6 interleave results as their own (multiply-referenced,
+    # non-cheap ⇒ CollapseProject-stable) columns so the 9 ring cells
+    # are tiny 3-way ORs, not 18 inlined interleave chains — the plan
+    # tree shrinks ~6× and driver-side analysis with it
+    ixcols = {d: f"__r1ix{d + 1}_{out}" for d in (-1, 0, 1)}
+    iycols = {d: f"__r1iy{d + 1}_{out}" for d in (-1, 0, 1)}
+    stage = stage.withColumns(
+        {ixcols[d]: _part1by1_col(F.col(xcols[d]), res) for d in (-1, 0, 1)}
+        | {iycols[d]: F.shiftleft(_part1by1_col(F.col(ycols[d]), res), 1)
+           for d in (-1, 0, 1)}
+    )
     base = F.lit(res << _RES_SHIFT)
     cells = [
-        base.bitwiseOR(_part1by1_col(F.col(xcols[dx])))
-        .bitwiseOR(F.shiftleft(_part1by1_col(F.col(ycols[dy])), 1))
+        base.bitwiseOR(F.col(ixcols[dx])).bitwiseOR(F.col(iycols[dy]))
         .cast("long")
         for dx in (-1, 0, 1)
         for dy in (-1, 0, 1)
     ]
     return stage.withColumn(out, F.array(*cells)).drop(
-        gx, gy, *xcols.values(), *ycols.values()
+        gx, gy, *xcols.values(), *ycols.values(),
+        *ixcols.values(), *iycols.values()
     )
 
 

@@ -88,6 +88,14 @@ def auto_res(n_candidates: int, k: int, target_occ_per_k: int = 4) -> int:
     [2, 14]. Skewed data (a dense city cell) degrades gracefully: the
     per-probe window trims each probe to k rows and the ring ladder
     never scans beyond the probe's neighborhood.
+
+    The rule only needs ``n_candidates`` to order of magnitude (log4:
+    a 4× miss shifts res by one) — callers may pass a cheap upper
+    bound such as a pre-filter parquet footer count. Because the
+    derived res varies with the candidate count, ``exact=False``
+    callers who need reproducible approximate output across growing
+    inputs should pin ``res`` explicitly (the exact path's output is
+    res-invariant).
     """
     import math
 
@@ -96,11 +104,56 @@ def auto_res(n_candidates: int, k: int, target_occ_per_k: int = 4) -> int:
     return max(2, min(14, int(math.log(cells, 4))))
 
 
+def footer_rowcount(df: DataFrame) -> int | None:
+    """Driver-side parquet row count from file footers — no Spark job.
+
+    Sums ``num_rows`` across ``df.inputFiles()`` via pyarrow. For a
+    plan with filters (or joins) this is a PRE-filter upper bound of
+    ``df.count()`` — exactly what :func:`auto_res` tolerates (its log4
+    rule only needs the order of magnitude). Returns None when the
+    plan has no scannable files (in-memory test DataFrames, non-
+    parquet sources, unreadable paths) so callers can fall back to a
+    real ``count()``.
+    """
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files or not all(f.endswith((".parquet", ".pq")) for f in files):
+        return None
+    try:
+        import urllib.parse
+
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in files:
+            p = urllib.parse.urlparse(f)
+            path = p.path if p.scheme in ("", "file") else None
+            if path is None:
+                return None
+            total += pq.ParquetFile(path).metadata.num_rows
+        return total
+    except Exception:
+        return None
+
+
+#: Broadcast the (ring-exploded) probe side when the probe set is at
+#: most this many rows: 9 × 20k ring rows × ~50 B ≈ 9 MB stays under
+#: Spark's default 10 MB auto-broadcast ceiling. Above it, the join is
+#: left to AQE (candidate-bucketed shuffle join). Measured at sf0.1
+#: (200 probes × 200k candidates): without the hint AQE broadcast the
+#: 200k-row CANDIDATE side — rebuilding an ~8 MB hash relation per run
+#: dominated the query (~2.3–3.0 s → ~1.3–1.8 s probe-broadcast).
+BROADCAST_PROBE_MAX = 20_000
+
+
 def knn_join(probes: DataFrame, candidates: DataFrame, k: int,
              res: int | None = None,
              probe_id: str = "probe_id", cand_id: str = "cand_id",
              lon: str = "lon", lat: str = "lat",
-             exact: bool = True, materialize: bool = True) -> DataFrame:
+             exact: bool = True, materialize: bool = True,
+             n_candidates: int | None = None) -> DataFrame:
     """Returns (probe_id, cand_id, dist2, rank) — per probe the k
     nearest candidates, rank 1..k by (dist2, cand_id) (deterministic
     tie-break). Probes and candidates may be the same table (self-kNN
@@ -108,18 +161,43 @@ def knn_join(probes: DataFrame, candidates: DataFrame, k: int,
 
     The exact path is multi-pass by nature (guarantee check + possible
     ring expansion), so with ``materialize=True`` (default) it runs
-    eagerly: the intermediate top-k is persisted for its three
-    consumers, the (small, k×probes) result is checkpointed, and the
-    intermediate cache is unpersisted before returning — no CacheManager
-    entry outlives the call. ``materialize=False`` returns the lazy
-    plan and leaves cache lifecycle to the caller (plan-inspection /
+    eagerly in exactly three actions on the common (all-exact) path:
+
+    1. ``probes.count()`` — gives the probe cardinality for the
+       exactness accounting below AND the join-side decision (probe
+       sets ≤ :data:`BROADCAST_PROBE_MAX` broadcast their ring-
+       exploded side so the candidate table streams map-side — AQE
+       left alone was observed broadcasting the 200k-row candidate
+       side instead, rebuilding an ~8 MB hash relation per run).
+    2. one combined job that materializes the persisted top-k AND
+       counts the provably-exact probes (``n_ok``) off it — the
+       exactness stats ride the same action as the persist.
+    3. when ``n_ok == n_probes`` every ranked row is already exact, so
+       the per-probe semi-join is skipped entirely and the (k×probes)-
+       sized result is eager-checkpointed straight off the persisted
+       top-k; intermediates are unpersisted — no CacheManager entry
+       outlives the call.
+
+    Probes that fail the guarantee re-run on the expanded ring / brute
+    ladder (rare by construction; extra jobs only on that path).
+    ``materialize=False`` returns the fully lazy ladder plan and
+    leaves cache lifecycle to the caller (plan-inspection /
     composition use).
 
     ``res=None`` (default) derives the resolution from the candidate
-    count via :func:`auto_res` (one cheap ``count()`` — metadata-only
-    on a parquet scan); pass an explicit res to pin it."""
+    count via :func:`auto_res` — sourced from ``n_candidates`` if the
+    caller passes it, else from parquet footers driver-side (no Spark
+    job, pre-filter upper bound — fine for the log4 occupancy rule),
+    else one ``count()`` job. Pass an explicit res to pin it (see
+    :func:`auto_res` on why ``exact=False`` callers should)."""
     if res is None:
-        res = auto_res(candidates.count(), k)
+        if n_candidates is None:
+            n_candidates = footer_rowcount(candidates)
+        if n_candidates is None:
+            n_candidates = candidates.count()
+        res = auto_res(n_candidates, k)
+    n_probes = probes.count() if (exact and materialize) else None
+    bcast_probes = n_probes is not None and n_probes <= BROADCAST_PROBE_MAX
     p = probes.select(
         F.col(probe_id).alias("_pid"),
         F.col(lon).alias("_plon"),
@@ -137,7 +215,9 @@ def knn_join(probes: DataFrame, candidates: DataFrame, k: int,
     d2 = _dist2(F.col("_plon"), F.col("_plat"), F.col("_clon"), F.col("_clat"))
     w = Window.partitionBy("_pid").orderBy(F.col("dist2").asc(), F.col("_cid").asc())
 
-    def ring_topk(p_sub: DataFrame, r: int) -> DataFrame:
+    def ring_topk(p_sub: DataFrame, r: int, bcast: bool | None = None) -> DataFrame:
+        if bcast is None:
+            bcast = bcast_probes
         if r == 1:
             # common round: fully native 3×3 ring (no Python anywhere
             # in the plan) — at self-kNN scale the probe side is the
@@ -158,6 +238,8 @@ def knn_join(probes: DataFrame, candidates: DataFrame, k: int,
                 F.explode(F.array_distinct(_ring_cells(F.col("_pcell"),
                                                        F.lit(r)))),
             ).drop("_pcell")
+        if bcast:
+            exploded = F.broadcast(exploded)
         paired = exploded.join(c, "_ccell").where(F.col("_pid") != F.col("_cid"))
         return (
             paired.withColumn("dist2", d2)
@@ -165,16 +247,20 @@ def knn_join(probes: DataFrame, candidates: DataFrame, k: int,
             .where(F.col("rank") <= k)
         )
 
-    def exactness_split(ranked_r: DataFrame, p_sub: DataFrame, r: int):
-        """(provably-exact rows, probes needing a wider ring)."""
+    def ok_probes(ranked_r: DataFrame, r: int) -> DataFrame:
+        """Probes whose ring-r top-k is provably exact (guarantee)."""
         stats = ranked_r.groupBy("_pid").agg(
             F.max(F.sqrt(F.col("dist2"))).alias("_kth"),
             F.count(F.lit(1)).alias("_found"),
             F.first("_plon").alias("_plon"), F.first("_plat").alias("_plat"),
         )
-        ok = stats.where(
+        return stats.where(
             (F.col("_found") >= k) & (F.col("_kth") <= _block_guard(res, r))
         ).select("_pid")
+
+    def exactness_split(ranked_r: DataFrame, p_sub: DataFrame, r: int):
+        """(provably-exact rows, probes needing a wider ring)."""
+        ok = ok_probes(ranked_r, r)
         return (
             ranked_r.join(ok, "_pid", "left_semi"),
             p_sub.join(ok, "_pid", "left_anti"),
@@ -187,14 +273,12 @@ def knn_join(probes: DataFrame, candidates: DataFrame, k: int,
             "dist2", "rank",
         )
 
-    # the top-k feeds three consumers (stats, good, residue anti-join):
-    # persist — measured 3.5× faster to materialize than localCheckpoint
-    # (the RDD conversion there bypasses AQE and shuffle reuse); the
-    # finish() path eager-checkpoints the small result and unpersists,
-    # so no CacheManager entry outlives the call
+    # the top-k feeds every downstream consumer (stats, good, residue
+    # anti-join): persist — measured 3.5× faster to materialize than
+    # localCheckpoint (the RDD conversion there bypasses AQE and
+    # shuffle reuse); the finish() path eager-checkpoints the small
+    # result and unpersists, so no CacheManager entry outlives the call
     cached = [ranked.persist()]
-    good, residue = exactness_split(ranked, p, 1)
-    parts = [good]
 
     def finish(parts_):
         out = parts_[0].select("_pid", "_cid", "dist2", "rank")
@@ -214,12 +298,31 @@ def knn_join(probes: DataFrame, candidates: DataFrame, k: int,
 
     # driver-side short-circuit: the common case is an empty residue,
     # and the expansion/brute branches each re-shuffle the candidate
-    # side even when their probe side is empty at runtime. count(), not
-    # isEmpty(): isEmpty's incremental-limit execution probes partitions
-    # in sequential waves (measured 3.5× slower on an empty anti-join),
-    # while count() materializes the persisted top-k in one parallel wave
-    if materialize and residue.count() == 0:
-        return finish(parts)
+    # side even when their probe side is empty at runtime. The check
+    # rides the persist-materializing action itself: counting the
+    # provably-exact probes off the (small, persisted) top-k is ONE
+    # job, and n_ok == n_probes ⟺ empty residue (ok ⊆ probes; with
+    # duplicate probe ids the counts differ and we merely take the
+    # slower residue path, whose anti-join then comes up empty —
+    # correctness is unaffected). count(), not isEmpty(): isEmpty's
+    # incremental-limit execution probes partitions in sequential
+    # waves (measured 3.5× slower on an empty anti-join)
+    if materialize:
+        ok = ok_probes(ranked, 1)
+        n_ok = ok.count()
+        if n_ok == n_probes:
+            # every probe exact ⇒ the semi-join would keep every
+            # ranked row — checkpoint the persisted top-k directly
+            return finish([ranked])
+        good = ranked.join(ok, "_pid", "left_semi")
+        residue = p.join(ok, "_pid", "left_anti")
+        # residue cardinality is known driver-side: broadcast the
+        # expansion round's probe side whenever the residue is small,
+        # even if the original probe set was too big to
+        bcast_probes = bcast_probes or (n_probes - n_ok) <= BROADCAST_PROBE_MAX
+    else:
+        good, residue = exactness_split(ranked, p, 1)
+    parts = [good]
 
     # ring expansion (SURVEY §7.2(c)): residue probes rerun at r=8. A
     # residue probe means its 3×3 block held < k candidates or the
