@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import free_local_checkpoint
+
 DEFAULT_SHINGLE = 8
 DEFAULT_STRIDE = 16
 
@@ -359,9 +361,13 @@ def dedup_clusters(pairs: DataFrame, all_ids: DataFrame | None = None,
     band-bucket cliques with diameter ≈ 1-2, so this converges in 2-3
     rounds (the O(log n) large-star/small-star alternation is the
     upgrade path for adversarial long-chain graphs). Each round's
-    labels are persisted and the previous round unpersisted — no cache
-    entry outlives the call; the returned frame is eager-checkpointed
-    (node-count-sized, the small artifact).
+    labels are eager-localCheckpointed so the plan stays O(1)-deep;
+    superseded rounds' checkpoint RDDs are explicitly unpersisted once
+    the next round lands (the final result's checkpoint is the one
+    artifact that outlives the call, freed by the ContextCleaner when
+    the caller drops it). Raises RuntimeError if ``max_iters`` rounds
+    pass without convergence — a silently partial labeling would
+    under-deduplicate downstream.
     """
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     sym = edges.unionByName(
@@ -386,6 +392,7 @@ def dedup_clusters(pairs: DataFrame, all_ids: DataFrame | None = None,
     labels = nodes.select(
         "node", F.col("node").alias("label")
     ).localCheckpoint(eager=True)
+    changed = -1  # unknown until a round runs (max_iters <= 0 ⇒ raise)
     for _ in range(max_iters):
         # candidate label per node: min over own label and neighbors'
         neigh = (
@@ -415,9 +422,21 @@ def dedup_clusters(pairs: DataFrame, all_ids: DataFrame | None = None,
             .where(F.col("label") != F.col("_old"))
             .count()
         )
+        # the superseded round's checkpoint RDD is dead weight from
+        # here on — free its blocks now instead of waiting for GC
+        # (DataFrame.unpersist is a no-op on localCheckpoints)
+        free_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             break
+    else:
+        free_local_checkpoint(sym)
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iters} rounds "
+            f"({changed} labels still changing) — raise max_iters; a "
+            "partial labeling would silently under-deduplicate"
+        )
+    free_local_checkpoint(sym)
     return labels.select(
         F.col("node").alias(id_col), F.col("label").alias("keeper_id")
     )

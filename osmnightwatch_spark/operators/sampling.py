@@ -73,13 +73,21 @@ def stratified_sample_sql(table: str, group_col: str,
                           fractions: dict[str, float], id_col: str,
                           default: float = 0.0,
                           select: str = "*") -> str:
-    """DuckDB twin of :func:`stratified_sample` (same md5 thresholds)."""
+    """DuckDB twin of :func:`stratified_sample` (same md5 thresholds).
+
+    Group names are rendered as SQL string literals with single quotes
+    doubled — a group value containing ``'`` must not break (or inject
+    into) the oracle query.
+    """
+    def q(s: str) -> str:
+        return "'" + str(s).replace("'", "''") + "'"
+
     h = f"substr(md5(CAST({id_col} AS VARCHAR)), 1, {HASH_WIDTH})"
     arms = [
-        f"({group_col} = '{grp}' AND {h} < '{_keep_threshold(frac)}')"
+        f"({group_col} = {q(grp)} AND {h} < '{_keep_threshold(frac)}')"
         for grp, frac in sorted(fractions.items())
     ]
-    groups = ", ".join(f"'{g}'" for g in fractions)
+    groups = ", ".join(q(g) for g in fractions)
     arms.append(
         f"({group_col} NOT IN ({groups}) AND {h} < '{_keep_threshold(default)}')"
     )

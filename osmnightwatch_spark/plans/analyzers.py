@@ -154,8 +154,23 @@ def write_issues_json(issues: DataFrame, path: str,
                 existing_older = json.load(f)["batch_ts"] < batch_ts
         if not (fresh or existing_older):
             return False
-    issues.write.mode("overwrite").json(path)
+    # failure-safe publish (reference parity: UploadIssues wraps the
+    # upload in try/catch and keeps the existing upload intact on
+    # failure — Program.cs:176-192): write the new copy to a sibling
+    # temp dir first, then swap via renames, so a mid-write failure
+    # leaves the previously published copy (and its meta) untouched
+    import shutil
+
+    tmp = path.rstrip("/") + ".__publishing__"
+    old = path.rstrip("/") + ".__replaced__"
+    shutil.rmtree(tmp, ignore_errors=True)
+    issues.write.mode("overwrite").json(tmp)  # failure here: old copy intact
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
     if batch_ts is not None:
         with open(meta_file, "w") as f:
             json.dump({"batch_ts": batch_ts}, f)
+    shutil.rmtree(old, ignore_errors=True)
     return True

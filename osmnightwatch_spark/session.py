@@ -74,3 +74,26 @@ def get_spark(app: str = "osmnightwatch_spark", cores: int | None = None,
     spark.sparkContext.setLogLevel("WARN")
     _ship_package(spark)
     return spark
+
+
+def free_local_checkpoint(df) -> bool:
+    """Release the block storage behind an eager ``localCheckpoint``.
+
+    ``DataFrame.unpersist()`` is a no-op for localCheckpoints — the
+    data lives in the checkpoint RDD's blocks, not the CacheManager,
+    and is otherwise only freed when GC collects the RDD handle
+    (measured: ``getPersistentRDDs`` keeps the entry after
+    ``df.unpersist()``; unpersisting the ``LogicalRDD``'s backing RDD
+    removes it). Iterative operators that supersede a checkpoint every
+    round (e.g. ``dedup_clusters``) call this to free the previous
+    round eagerly. Returns False when ``df`` isn't a plain
+    localCheckpoint frame (nothing freed).
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() != "LogicalRDD":
+            return False
+        plan.rdd().unpersist(False)
+        return True
+    except Exception:
+        return False

@@ -58,3 +58,51 @@ def test_publish_freshness_gate(spark, tmp_path):
                                  now_ts="2024-05-01 01:00:00")
     # no batch_ts → unconditional legacy write
     assert write_issues_json(issues, out2)
+
+
+def test_publish_failure_keeps_last_good(spark, tmp_path):
+    """A mid-write failure must leave the previously published copy
+    (and its meta) intact — reference parity with UploadIssues'
+    try/catch keep-last-good behavior (Program.cs:176-192)."""
+    good = spark.createDataFrame(pd.DataFrame({"issue_type": ["x"], "osm_id": [1]}))
+    out = str(tmp_path / "issues_json")
+    assert write_issues_json(good, out, batch_ts="2024-05-01 00:03:00",
+                             now_ts="2024-05-01 00:05:00")
+    before = spark.read.json(out).toPandas()
+
+    @F.udf("long")
+    def boom(x):
+        raise ValueError("synthetic write failure")
+
+    bad = good.withColumn("osm_id", boom(F.col("osm_id")))
+    try:
+        write_issues_json(bad, out, batch_ts="2024-05-01 00:06:00",
+                          now_ts="2024-05-01 00:07:00")
+        raised = False
+    except Exception:
+        raised = True
+    assert raised
+    after = spark.read.json(out).toPandas()
+    assert after.equals(before)
+    # meta still points at the ORIGINAL publish: a batch newer than it
+    # (but older than the failed one) must still publish
+    assert write_issues_json(good, out, batch_ts="2024-05-01 00:04:00",
+                             now_ts="2024-05-01 01:00:00")
+
+
+def test_dedup_clusters_nonconvergence_raises(spark):
+    """Exhausting max_iters without convergence must raise, not return
+    silently-partial labels (a partial labeling under-deduplicates)."""
+    import pytest
+
+    from osmnightwatch_spark.operators.dedup import dedup_clusters
+
+    n = 64  # long chain: min-label needs several rounds even with jumping
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": list(range(1, n)), "id_b": list(range(2, n + 1))})
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(pairs, max_iters=1)
+    # enough rounds → converges to one cluster labeled by the min id
+    out = dedup_clusters(pairs).toPandas()
+    assert set(out.keeper_id) == {1}
