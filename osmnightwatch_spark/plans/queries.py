@@ -1135,6 +1135,114 @@ SQL_images_flagship = (
 )
 
 
+# --- incremental flagship (steady-state loop composed end-to-end) ----------
+
+_GEO_SHIFT = 777001  # modified rows move: geo formula re-evaluated at id+shift
+
+
+def _geo_lonlat(idc):
+    """lon/lat Columns from an id expression (the documented events
+    integer-arithmetic geotag, parametrized so changeset payloads can
+    derive moved positions from shifted ids)."""
+    mlon = (idc * F.lit(_LON_MULT)) % F.lit(_M32)
+    mlat = (idc * F.lit(_LAT_MULT) + F.lit(_LAT_OFF)) % F.lit(_M32)
+    return (
+        (F.lit(-180.0) + mlon.cast("double") / F.lit(float(_M32)) * F.lit(360.0)),
+        (F.lit(-85.0) + mlat.cast("double") / F.lit(float(_M32)) * F.lit(170.0)),
+    )
+
+
+def _geo_lonlat_sql(id_expr: str) -> tuple[str, str]:
+    return (
+        f"(-180.0 + CAST(({id_expr}) * {_LON_MULT} % {_M32} AS DOUBLE) / {_M32}.0 * 360.0)",
+        f"(-85.0 + CAST((({id_expr}) * {_LAT_MULT} + {_LAT_OFF}) % {_M32} AS DOUBLE)"
+        f" / {_M32}.0 * 170.0)",
+    )
+
+
+def _pt_payload(idc, geo_idc):
+    lon, lat = _geo_lonlat(geo_idc)
+    return F.struct(
+        idc.alias("id"),
+        ((idc * _PHASH_TWIN_MULT) % 1024).alias("phash"),
+        lon.alias("lon"), lat.alias("lat"),
+    )
+
+
+def q_incremental_flagship(spark, sf_dir):
+    """ST7 / Program.cs:75-117 — the steady-state loop composed as ONE
+    query over the images-shaped point table: image-upsert micro-batch
+    → CDC compact+MERGE → dirty-tile scope → rollup recompute of dirty
+    tiles only, untouched groups carried forward. The DuckDB twin is
+    the FULL recompute over the merged snapshot, so a green row proves
+    incremental == full.
+
+    Deterministic changeset derived from events: ids ≡0 (mod 10) drive
+    the batch — ≡0 (mod 30) deletes id+1 (a base row), ≡0 (mod 20)
+    moves id+2 (geo re-derived at id+_GEO_SHIFT), the rest insert
+    themselves; inserts also carry a lower-version losing row so
+    compaction's last-writer-wins is exercised inside the composition.
+    """
+    from .incremental import incremental_tile_rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id")
+    cid = F.col("event_id")
+    lon, lat = _geo_lonlat(cid)
+    base = ev.where(cid % 10 != 0).select(
+        cid.alias("id"),
+        ((cid * _PHASH_TWIN_MULT) % 1024).alias("phash"),
+        lon.alias("lon"), lat.alias("lat"),
+    )
+    src = ev.where(cid % 10 == 0)
+
+    def change(rows, op, idc, version, geo_idc):
+        return rows.select(
+            F.lit(op).alias("op"), F.lit("image").alias("entity_type"),
+            idc.alias("id"), version.cast("int").alias("version"),
+            _pt_payload(idc, geo_idc).alias("payload"),
+        )
+
+    deletes = change(src.where(cid % 30 == 0), "D", cid + 1, cid, cid + 1)
+    moves = change(src.where((cid % 30 != 0) & (cid % 20 == 0)), "M",
+                   cid + 2, cid, cid + 2 + _GEO_SHIFT)
+    ins_src = src.where((cid % 30 != 0) & (cid % 20 != 0))
+    inserts = change(ins_src, "C", cid, cid, cid)
+    losers = change(ins_src, "M", cid, cid - 1, cid + _GEO_SHIFT)
+    changes = deletes.unionByName(moves).unionByName(inserts).unionByName(losers)
+
+    return incremental_tile_rollup(base, changes, tile_res=8,
+                                   prepared=_prep_rect())
+
+
+def _sql_incremental_flagship() -> str:
+    lon_b, lat_b = _geo_lonlat_sql("id")
+    lon_m, lat_m = _geo_lonlat_sql(f"id + {_GEO_SHIFT}")
+    phash = f"(id * {_PHASH_TWIN_MULT}) % 1024"
+    merged = f"""
+WITH ids AS (SELECT event_id FROM events),
+base_ids AS (SELECT event_id AS id FROM ids WHERE event_id % 10 <> 0),
+del_ids AS (SELECT event_id + 1 AS id FROM ids
+            WHERE event_id % 10 = 0 AND event_id % 30 = 0),
+mod_ids AS (SELECT event_id + 2 AS id FROM ids
+            WHERE event_id % 10 = 0 AND event_id % 30 <> 0 AND event_id % 20 = 0),
+ins_ids AS (SELECT event_id AS id FROM ids
+            WHERE event_id % 10 = 0 AND event_id % 30 <> 0 AND event_id % 20 <> 0),
+merged AS (
+  SELECT id, {phash} AS phash, {lon_b} AS lon, {lat_b} AS lat FROM base_ids
+  WHERE id NOT IN (SELECT id FROM del_ids UNION ALL SELECT id FROM mod_ids)
+  UNION ALL
+  SELECT id, {phash} AS phash, {lon_m} AS lon, {lat_m} AS lat FROM mod_ids
+  UNION ALL
+  SELECT id, {phash} AS phash, {lon_b} AS lon, {lat_b} AS lat FROM ins_ids)
+SELECT * FROM merged
+""".strip()
+    return (
+        f"SELECT polygon_id, {C.cell_sql('lon', 'lat', 8)} AS tile, "
+        "COUNT(*) AS n_images, COUNT(DISTINCT phash) AS n_distinct_phash "
+        "FROM (" + _rect_join_sql(merged) + ") GROUP BY 1, 2"
+    )
+
+
 def _sf_of(sf_dir: str) -> float:
     import re
 
@@ -1193,6 +1301,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "polygon_assembly": q_polygon_assembly,
     "coastline_issues": q_coastline_issues,
     "images_flagship": q_images_flagship,
+    "incremental_flagship": q_incremental_flagship,
     "expected_admins_corpus": q_expected_admins_corpus,
 }
 
@@ -1243,5 +1352,6 @@ ORACLES: dict[str, str] = {
     "polygon_assembly": AF.oracle_sql(),
     "coastline_issues": CF.oracle_sql(),
     "images_flagship": SQL_images_flagship,
+    "incremental_flagship": _sql_incremental_flagship(),
     "expected_admins_corpus": SQL_expected_admins_corpus,
 }

@@ -90,3 +90,60 @@ def test_incremental_delete_relation(spark, world):
     # (reference checks atLeastOneWay before the role check)
     assert set(inc.relation_id) == set(full.relation_id) == {1000, 3000}
     assert full.set_index("relation_id").loc[3000].reason == "Missing ways"
+
+
+def test_incremental_flagship_equals_full_sf01(spark):
+    """VERDICT r3 #3 done-criterion: the composed steady-state loop
+    (CDC merge → dirty-tile scope → partial rollup recompute) equals a
+    full flagship recompute of the merged snapshot at sf0.1 — both
+    sides Spark, so the equality is engine-internal (the registered
+    query's DuckDB twin separately proves it against SQL at sf0.01)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from osmnightwatch_spark.plans import queries as Q
+    from osmnightwatch_spark.plans.pipeline import flagship_points
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF01_DIR", "/root/testdata/sf0.1")
+    inc = Q.q_incremental_flagship(spark, sf_dir).toPandas()
+
+    # full recompute: rebuild the same merged snapshot, roll up all of it
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id")
+    cid = F.col("event_id")
+    lon, lat = Q._geo_lonlat(cid)
+    base = ev.where(cid % 10 != 0).select(
+        cid.alias("id"), ((cid * Q._PHASH_TWIN_MULT) % 1024).alias("phash"),
+        lon.alias("lon"), lat.alias("lat"),
+    )
+    src = ev.where(cid % 10 == 0)
+    removed = (
+        src.where(cid % 30 == 0).select((cid + 1).alias("id"))
+        .unionByName(src.where((cid % 30 != 0) & (cid % 20 == 0))
+                     .select((cid + 2).alias("id")))
+    )
+    mlon, mlat = Q._geo_lonlat(cid + 2 + Q._GEO_SHIFT)
+    mods = src.where((cid % 30 != 0) & (cid % 20 == 0)).select(
+        (cid + 2).alias("id"),
+        (((cid + 2) * Q._PHASH_TWIN_MULT) % 1024).alias("phash"),
+        mlon.alias("lon"), mlat.alias("lat"),
+    )
+    ins = src.where((cid % 30 != 0) & (cid % 20 != 0)).select(
+        cid.alias("id"), ((cid * Q._PHASH_TWIN_MULT) % 1024).alias("phash"),
+        lon.alias("lon"), lat.alias("lat"),
+    )
+    merged = (
+        base.join(removed, "id", "left_anti").unionByName(mods).unionByName(ins)
+    )
+    full = flagship_points(merged, prepared=Q._prep_rect()).toPandas()
+
+    key = ["polygon_id", "tile"]
+    inc_s = inc.sort_values(key).reset_index(drop=True)
+    full_s = full.sort_values(key).reset_index(drop=True)
+    assert len(inc_s) == len(full_s) > 0
+    assert inc_s[key + ["n_images", "n_distinct_phash"]].equals(
+        full_s[key + ["n_images", "n_distinct_phash"]]
+    )
+    # the batch actually changed something (guard against a vacuous test)
+    prev = flagship_points(base, prepared=Q._prep_rect()).toPandas()
+    assert not prev.sort_values(key).reset_index(drop=True).equals(full_s)
