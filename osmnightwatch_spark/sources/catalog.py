@@ -172,6 +172,76 @@ class Table:
         })
 
 
+    def expire_snapshots(self, keep_n: int | None = None,
+                         older_than_unix: int | None = None) -> dict:
+        """Iceberg ``expire_snapshots`` analog: drop old snapshots'
+        manifests and any data file no kept snapshot references. The
+        reference analog is resetting state for a newer planet
+        (README.md:55 — the LMDB is disposable once a newer snapshot
+        supersedes it).
+
+        Keep rules (union when both given): the newest ``keep_n``
+        snapshots; snapshots committed at/after ``older_than_unix``.
+        The CURRENT snapshot is always kept regardless. Manifests are
+        removed before data files, so a crash mid-expiry can never
+        leave a resolvable snapshot with missing files; a concurrent
+        reader of a kept snapshot is unaffected (its files are never
+        touched). Time travel to kept snapshots keeps working; reads
+        of expired ids raise. Returns
+        ``{"expired": [...], "kept": [...], "files_removed": n}``.
+
+        Why it matters at 100 TB: every commit (append, compaction,
+        steady-state merge) retains the previous snapshot's files for
+        time travel — without expiry the table's footprint grows
+        without bound and file listings slow every maintenance pass.
+        """
+        if keep_n is None and older_than_unix is None:
+            raise ValueError("pass keep_n and/or older_than_unix")
+        cur = self.current_snapshot()
+        mdir = os.path.join(self.root, "manifests")
+        snaps = sorted(
+            int(fn[len("manifest-"):-len(".json")])
+            for fn in os.listdir(mdir)
+            if fn.startswith("manifest-") and fn.endswith(".json")
+        )
+        keep = {cur} if cur is not None else set()
+        if keep_n is not None:
+            keep.update(snaps[-max(0, keep_n):] if keep_n > 0 else [])
+        if older_than_unix is not None:
+            keep.update(
+                s for s in snaps
+                if self.manifest(s)["committed_at_unix"] >= older_than_unix
+            )
+        expired = [s for s in snaps if s not in keep]
+        referenced = {
+            f["path"] for s in keep if s in snaps
+            for f in self.manifest(s)["files"]
+        }
+        doomed: set[str] = set()
+        for s in expired:
+            doomed.update(
+                f["path"] for f in self.manifest(s)["files"]
+                if f["path"] not in referenced
+            )
+        for s in expired:
+            os.remove(os.path.join(mdir, f"manifest-{s}.json"))
+        for rel in sorted(doomed):
+            full = os.path.join(self.root, rel)
+            if os.path.exists(full):
+                os.remove(full)
+            d = os.path.dirname(full)
+            # snapshot data dirs hold only their own files (+ _SUCCESS
+            # markers): drop the dir once no data file remains
+            if os.path.isdir(d) and not any(
+                fn.endswith(".parquet") for fn in os.listdir(d)
+            ):
+                import shutil
+
+                shutil.rmtree(d, ignore_errors=True)
+        return {"expired": expired, "kept": sorted(keep & set(snaps)),
+                "files_removed": len(doomed)}
+
+
 def _parquet_rows(path: str) -> int:
     import pyarrow.parquet as pq
 

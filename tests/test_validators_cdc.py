@@ -394,3 +394,49 @@ def test_catalog_compact(spark, tmp_path):
         t.read(spark, snap1).agg(F.sum("v")).collect()[0][0]
     # already compact → no-op
     assert t.compact(spark) is None
+
+
+def test_catalog_expire_snapshots(spark, tmp_path):
+    """expire_snapshots drops old manifests + unreferenced data files,
+    never the CURRENT pointer's; kept snapshots stay time-travel
+    readable and a concurrent reader of current is unaffected."""
+    import os
+
+    import pytest
+
+    from osmnightwatch_spark.sources.catalog import Table
+
+    t = Table(str(tmp_path / "tbl"))
+    s1 = t.commit(spark.range(0, 100).withColumnRenamed("id", "v"))
+    s2 = t.commit(spark.range(100, 250).withColumnRenamed("id", "v"),
+                  append=True)  # s2 references s1's files
+    s3 = t.commit(spark.range(0, 50).withColumnRenamed("id", "v"))
+    s4 = t.commit(spark.range(50, 80).withColumnRenamed("id", "v"),
+                  append=True)
+
+    # a reader holding the current snapshot's plan before expiry
+    reader_before = t.read(spark, s4)
+
+    stats = t.expire_snapshots(keep_n=2)
+    assert stats["expired"] == [s1, s2]
+    assert stats["kept"] == [s3, s4]
+    assert stats["files_removed"] > 0
+
+    # current + kept history still read correctly (s4 appends onto s3,
+    # so expiring s1/s2 must not touch s3's files)
+    assert t.read(spark, s4).count() == 80
+    assert t.read(spark, s3).count() == 50
+    assert reader_before.count() == 80
+    # expired ids no longer resolve
+    with pytest.raises(FileNotFoundError):
+        t.manifest(s1)
+    # s1/s2's data files actually gone from disk
+    data_dirs = os.listdir(os.path.join(t.root, "data"))
+    assert all(f"snap-{s}-" not in d for s in (s1, s2) for d in data_dirs)
+
+    # CURRENT is immune even when the criteria would expire everything
+    stats2 = t.expire_snapshots(older_than_unix=2**62)
+    assert s4 not in stats2["expired"]
+    assert t.read(spark).count() == 80
+    with pytest.raises(ValueError):
+        t.expire_snapshots()
