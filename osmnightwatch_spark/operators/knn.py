@@ -59,9 +59,33 @@ def _dist2(plon, plat, clon, clat):
     return (plon - clon) * (plon - clon) + (plat - clat) * (plat - clat)
 
 
-def _block_guard(res: int, r: int):
-    """Distance from the probe to the edge of its (2r+1)×(2r+1) cell
-    block — everything outside the block is farther than this."""
+EARTH_R_M = 6371000.0  # mean earth radius; shared verbatim with the SQL twin
+
+
+def _dist_haversine(plon, plat, clon, clat):
+    """Great-circle metres, written in the exact operation order the
+    DuckDB twin uses (``haversine_sql``) so both engines evaluate the
+    same float expression."""
+    dphi = (F.radians(clat) - F.radians(plat)) / 2
+    dlam = (F.radians(clon) - F.radians(plon)) / 2
+    h = (F.sin(dphi) * F.sin(dphi)
+         + F.cos(F.radians(plat)) * F.cos(F.radians(clat))
+         * F.sin(dlam) * F.sin(dlam))
+    return 2.0 * EARTH_R_M * F.asin(F.least(F.lit(1.0), F.sqrt(h)))
+
+
+def haversine_sql(plon: str, plat: str, clon: str, clat: str) -> str:
+    """ANSI-SQL rendering of :func:`_dist_haversine` (same op order)."""
+    dphi = f"((RADIANS({clat}) - RADIANS({plat})) / 2)"
+    dlam = f"((RADIANS({clon}) - RADIANS({plon})) / 2)"
+    h = (f"(SIN({dphi}) * SIN({dphi}) + COS(RADIANS({plat})) * "
+         f"COS(RADIANS({clat})) * SIN({dlam}) * SIN({dlam}))")
+    return f"(2.0 * {EARTH_R_M} * ASIN(LEAST(1.0, SQRT({h}))))"
+
+
+def _block_edges(res: int, r: int):
+    """Per-axis distances (degrees) from the probe to the edges of its
+    (2r+1)×(2r+1) cell block."""
     n = float(1 << res)
     cw, ch = 360.0 / n, 180.0 / n
     gx = F.floor((F.col("_plon") + F.lit(180.0)) / F.lit(cw))
@@ -70,10 +94,49 @@ def _block_guard(res: int, r: int):
     bx1 = bx0 + (2 * r + 1) * cw
     by0 = gy.cast("double") * ch - 90.0 - r * ch
     by1 = by0 + (2 * r + 1) * ch
-    return F.least(
-        F.col("_plon") - bx0, bx1 - F.col("_plon"),
-        F.col("_plat") - by0, by1 - F.col("_plat"),
+    glon = F.least(F.col("_plon") - bx0, bx1 - F.col("_plon"))
+    glat = F.least(F.col("_plat") - by0, by1 - F.col("_plat"))
+    return glon, glat
+
+
+def _block_guard(res: int, r: int):
+    """Planar-degree distance from the probe to the edge of its
+    (2r+1)×(2r+1) cell block — everything outside the block is farther
+    than this."""
+    glon, glat = _block_edges(res, r)
+    return F.least(glon, glat)
+
+
+def _block_guard_haversine(res: int, r: int):
+    """Great-circle metres lower bound to anything outside the block.
+
+    A point q outside the (2r+1)×(2r+1) block differs from the probe
+    by ≥ glat degrees of latitude OR ≥ glon degrees of longitude:
+
+    * latitude case: central angle ≥ Δφ, so dist ≥ R·rad(glat);
+    * longitude case with |Δφ| < glat (else the latitude bound already
+      applies): |lat(q)| ≤ |lat(p)| + glat, and the haversine identity
+      gives hav θ ≥ cos φ₁ · cos φ₂ · hav Δλ ≥ cos φ₁ · cos φ₂max ·
+      hav glon.
+
+    The guard is the min of the two bounds — conservative (never
+    exceeds the true distance to the nearest outside point), the
+    direction exactness needs. At high latitude cos φ₂max shrinks the
+    longitude bound, correctly modelling meridian convergence (the
+    degree grid's cells are geographically skinny there): more probes
+    fail ring-1 and re-run on the wider ring — extra work, never a
+    wrong answer.
+    """
+    glon, glat = _block_edges(res, r)
+    phi1 = F.radians(F.col("_plat"))
+    phi2max = F.radians(F.least(F.lit(90.0), F.abs(F.col("_plat")) + glat))
+    lat_bound = EARTH_R_M * F.radians(glat)
+    lon_bound = 2.0 * EARTH_R_M * F.asin(
+        F.least(F.lit(1.0),
+                F.sqrt(F.cos(phi1) * F.cos(phi2max))
+                * F.sin(F.radians(glon) / 2))
     )
+    return F.least(lat_bound, lon_bound)
 
 
 def auto_res(n_candidates: int, k: int, target_occ_per_k: int = 4) -> int:
@@ -153,11 +216,22 @@ def knn_join(probes: DataFrame, candidates: DataFrame, k: int,
              probe_id: str = "probe_id", cand_id: str = "cand_id",
              lon: str = "lon", lat: str = "lat",
              exact: bool = True, materialize: bool = True,
-             n_candidates: int | None = None) -> DataFrame:
+             n_candidates: int | None = None,
+             metric: str = "planar") -> DataFrame:
     """Returns (probe_id, cand_id, dist2, rank) — per probe the k
     nearest candidates, rank 1..k by (dist2, cand_id) (deterministic
     tie-break). Probes and candidates may be the same table (self-kNN
     excludes self-matches when ids collide).
+
+    ``metric="planar"`` (default) ranks by squared planar degree
+    distance in a ``dist2`` column — bit-exact against integer-derived
+    oracles, matching the reference's R-tree frames.
+    ``metric="haversine"`` ranks by great-circle metres in a ``dist_m``
+    column (:func:`_dist_haversine`; SQL twin :func:`haversine_sql`);
+    the ring-exactness guarantee swaps in a great-circle lower bound
+    (:func:`_block_guard_haversine`), so the ladder stays provably
+    exact at any latitude — including above 60° where planar degrees
+    misrank east-west vs north-south neighbors.
 
     The exact path is multi-pass by nature (guarantee check + possible
     ring expansion), so with ``materialize=True`` (default) it runs
@@ -190,6 +264,8 @@ def knn_join(probes: DataFrame, candidates: DataFrame, k: int,
     job, pre-filter upper bound — fine for the log4 occupancy rule),
     else one ``count()`` job. Pass an explicit res to pin it (see
     :func:`auto_res` on why ``exact=False`` callers should)."""
+    if metric not in ("planar", "haversine"):
+        raise ValueError(f"metric must be planar|haversine, got {metric!r}")
     if res is None:
         if n_candidates is None:
             n_candidates = footer_rowcount(candidates)
@@ -212,7 +288,9 @@ def knn_join(probes: DataFrame, candidates: DataFrame, k: int,
         res, lon="_clon", lat="_clat", out="_ccell",
     )
 
-    d2 = _dist2(F.col("_plon"), F.col("_plat"), F.col("_clon"), F.col("_clat"))
+    args = (F.col("_plon"), F.col("_plat"), F.col("_clon"), F.col("_clat"))
+    d2 = _dist2(*args) if metric == "planar" else _dist_haversine(*args)
+    dist_col = "dist2" if metric == "planar" else "dist_m"
     w = Window.partitionBy("_pid").orderBy(F.col("dist2").asc(), F.col("_cid").asc())
 
     def ring_topk(p_sub: DataFrame, r: int, bcast: bool | None = None) -> DataFrame:
@@ -249,13 +327,19 @@ def knn_join(probes: DataFrame, candidates: DataFrame, k: int,
 
     def ok_probes(ranked_r: DataFrame, r: int) -> DataFrame:
         """Probes whose ring-r top-k is provably exact (guarantee)."""
+        # planar ranks by SQUARED degrees → the k-th radius is its
+        # sqrt; haversine ranks by metres directly
+        kth = (F.max(F.sqrt(F.col("dist2"))) if metric == "planar"
+               else F.max(F.col("dist2")))
         stats = ranked_r.groupBy("_pid").agg(
-            F.max(F.sqrt(F.col("dist2"))).alias("_kth"),
+            kth.alias("_kth"),
             F.count(F.lit(1)).alias("_found"),
             F.first("_plon").alias("_plon"), F.first("_plat").alias("_plat"),
         )
+        guard = (_block_guard(res, r) if metric == "planar"
+                 else _block_guard_haversine(res, r))
         return stats.where(
-            (F.col("_found") >= k) & (F.col("_kth") <= _block_guard(res, r))
+            (F.col("_found") >= k) & (F.col("_kth") <= guard)
         ).select("_pid")
 
     def exactness_split(ranked_r: DataFrame, p_sub: DataFrame, r: int):
@@ -270,7 +354,7 @@ def knn_join(probes: DataFrame, candidates: DataFrame, k: int,
     if not exact:
         return ranked.select(
             F.col("_pid").alias(probe_id), F.col("_cid").alias(cand_id),
-            "dist2", "rank",
+            F.col("dist2").alias(dist_col), "rank",
         )
 
     # the top-k feeds every downstream consumer (stats, good, residue
@@ -286,7 +370,7 @@ def knn_join(probes: DataFrame, candidates: DataFrame, k: int,
             out = out.unionByName(extra.select("_pid", "_cid", "dist2", "rank"))
         out = out.select(
             F.col("_pid").alias(probe_id), F.col("_cid").alias(cand_id),
-            "dist2", "rank",
+            F.col("dist2").alias(dist_col), "rank",
         )
         if materialize:
             # checkpoint the (k × probes)-sized result, then release
@@ -360,13 +444,16 @@ def knn_join(probes: DataFrame, candidates: DataFrame, k: int,
 
 def knn_join_brute(probes: DataFrame, candidates: DataFrame, k: int,
                    probe_id: str = "probe_id", cand_id: str = "cand_id",
-                   lon: str = "lon", lat: str = "lat") -> DataFrame:
+                   lon: str = "lon", lat: str = "lat",
+                   metric: str = "planar") -> DataFrame:
     """O(P×C) reference implementation (tests + small probe sets)."""
     p = probes.select(F.col(probe_id).alias("_pid"), F.col(lon).alias("_plon"),
                       F.col(lat).alias("_plat"))
     c = candidates.select(F.col(cand_id).alias("_cid"), F.col(lon).alias("_clon"),
                           F.col(lat).alias("_clat"))
-    d2 = _dist2(F.col("_plon"), F.col("_plat"), F.col("_clon"), F.col("_clat"))
+    args = (F.col("_plon"), F.col("_plat"), F.col("_clon"), F.col("_clat"))
+    d2 = _dist2(*args) if metric == "planar" else _dist_haversine(*args)
+    dist_col = "dist2" if metric == "planar" else "dist_m"
     w = Window.partitionBy("_pid").orderBy(F.col("dist2").asc(), F.col("_cid").asc())
     return (
         F.broadcast(p).crossJoin(c)
@@ -375,5 +462,5 @@ def knn_join_brute(probes: DataFrame, candidates: DataFrame, k: int,
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(F.col("_pid").alias(probe_id), F.col("_cid").alias(cand_id),
-                "dist2", "rank")
+                F.col("dist2").alias(dist_col), "rank")
     )

@@ -450,6 +450,39 @@ SQL_knn_events = (
 )
 
 
+def q_knn_haversine(spark, sf_dir):
+    """J11 (metric=haversine) — the exact kNN ladder under great-circle
+    metres, probed where it diverges hardest from planar degrees: high
+    latitude (|lat| > 60°), where a degree of longitude is under half a
+    degree-of-latitude's metres and planar ranking misorders east-west
+    vs north-south neighbors. The oracle is a brute-force DuckDB twin
+    using the identical haversine expression (``knn.haversine_sql``)."""
+    from ..operators.knn import knn_join
+
+    geo = _events_geo(spark, sf_dir)
+    probes = (
+        geo.where((F.col("event_id") % 150 == 0) & (F.abs(F.col("lat")) > 60.0))
+        .withColumnRenamed("event_id", "probe_id")
+    )
+    cands = geo.withColumnRenamed("event_id", "cand_id")
+    return knn_join(probes, cands, k=3, res=_CELL_RES,
+                    metric="haversine").select("probe_id", "cand_id", "rank")
+
+
+def _sql_knn_haversine() -> str:
+    from ..operators.knn import haversine_sql
+
+    d = haversine_sql("p.lon", "p.lat", "c.lon", "c.lat")
+    return (
+        "SELECT probe_id, cand_id, rank FROM ("
+        "SELECT p.event_id AS probe_id, c.event_id AS cand_id, "
+        f"row_number() OVER (PARTITION BY p.event_id ORDER BY {d} ASC, "
+        "c.event_id ASC) AS rank "
+        f"FROM ({_GEO_SQL}) p JOIN ({_GEO_SQL}) c ON p.event_id <> c.event_id "
+        "WHERE p.event_id % 150 = 0 AND ABS(p.lat) > 60.0) WHERE rank <= 3"
+    )
+
+
 def q_coverage_observed(spark, sf_dir):
     """A9 — raster-tile ↔ vector-polygon coverage aggregation."""
     geo = _events_geo(spark, sf_dir)
@@ -1274,6 +1307,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pip_rect_join": q_pip_rect_join,
     "pip_rect_counts": q_pip_rect_counts,
     "knn_events": q_knn_events,
+    "knn_haversine": q_knn_haversine,
     "coverage_observed": q_coverage_observed,
     "dedup_exact": q_dedup_exact,
     "token_quality": q_token_quality,
@@ -1325,6 +1359,7 @@ ORACLES: dict[str, str] = {
     "pip_rect_join": SQL_pip_rect_join,
     "pip_rect_counts": SQL_pip_rect_counts,
     "knn_events": SQL_knn_events,
+    "knn_haversine": _sql_knn_haversine(),
     "coverage_observed": SQL_coverage_observed,
     "dedup_exact": SQL_dedup_exact,
     "token_quality": _sql_token_quality(),

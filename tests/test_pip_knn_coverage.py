@@ -231,3 +231,38 @@ def test_knn_ring1_plan_fully_native(spark):
     lazy = knn_join(probes, cands, k=3, res=5, exact=False)
     plan = lazy._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_knn_haversine_matches_brute_high_latitude(spark):
+    """metric=haversine: the ring ladder equals brute-force great-circle
+    kNN at |lat| > 60°, where meridian convergence makes planar-degree
+    ranking wrong and the haversine block guard does real work (many
+    probes legitimately fail ring-1 there). Fixture: dense polar band +
+    sparse mid-lat noise, with points straddling the antimeridian."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    n = 800
+    lon = ((rng.uniform(-180, 180, n) + 180) % 360) - 180
+    lat = np.where(rng.random(n) < 0.7,
+                   rng.uniform(62, 84, n) * rng.choice([-1, 1], n),
+                   rng.uniform(-55, 55, n))
+    pdf = pd.DataFrame({"pt_id": np.arange(n), "lon": lon, "lat": lat})
+    cands = spark.createDataFrame(pdf.rename(columns={"pt_id": "cand_id"}))
+    probes = spark.createDataFrame(
+        pdf[pdf.lat.abs() > 60].sample(60, random_state=5)
+        .rename(columns={"pt_id": "probe_id"})
+    )
+    got = knn_join(probes, cands, k=4, res=5, metric="haversine").toPandas()
+    exp = knn_join_brute(probes, cands, k=4, metric="haversine").toPandas()
+    key = ["probe_id", "rank"]
+    got = got.sort_values(key).reset_index(drop=True)
+    exp = exp.sort_values(key).reset_index(drop=True)
+    assert got[["probe_id", "cand_id", "rank"]].equals(
+        exp[["probe_id", "cand_id", "rank"]]
+    )
+    assert np.allclose(got.dist_m, exp.dist_m)
+    # planar ranking genuinely differs up here — the metric matters
+    planar = knn_join_brute(probes, cands, k=4).toPandas().sort_values(
+        key).reset_index(drop=True)
+    assert not planar.cand_id.equals(exp.cand_id)
