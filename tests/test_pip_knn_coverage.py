@@ -266,3 +266,55 @@ def test_knn_haversine_matches_brute_high_latitude(spark):
     planar = knn_join_brute(probes, cands, k=4).toPandas().sort_values(
         key).reset_index(drop=True)
     assert not planar.cand_id.equals(exp.cand_id)
+
+
+def test_pip_covering_antimeridian_polygon(spark):
+    """VERDICT r3 #6: explicit dateline-crossing covering test. The
+    two-part MultiPolygon convention (polygon 530 'Meridiana', parts
+    [170,180] and [-180,-170]) must produce a covering whose cells hug
+    both sides of the seam, and PIP through the covering must equal
+    brute ray-casting on a point set DENSELY packed against ±180
+    (uniform fixtures rarely stress the seam)."""
+    from osmnightwatch_spark.functions import cells as C
+    from osmnightwatch_spark.operators.pip_join import pip_join_brute
+
+    prep = PreparedPolygons.build(P.valid_polygon_list(), res=7)
+    cov = prep.covering[prep.covering.polygon_id == 530]
+    assert len(cov) > 0
+    lon0, _, lon1, _ = C.cell_bounds(cov.cell.to_numpy())
+    # covering touches both edges of the seam and nothing in between
+    assert lon0.min() <= -179.99 and lon1.max() >= 179.99
+    interior = (lon1 < 169.9) & (lon0 > -169.9)
+    assert not interior.any()
+
+    rng = np.random.default_rng(23)
+    n = 400
+    seam_lon = np.concatenate([
+        180.0 - rng.uniform(0, 0.2, n // 4),     # just west of the seam
+        -180.0 + rng.uniform(0, 0.2, n // 4),    # just east of the seam
+        rng.uniform(168.0, 172.0, n // 4),       # west part edge
+        rng.uniform(-172.0, -168.0, n // 4),     # east part edge
+    ])
+    pts_pdf = pd.DataFrame({
+        "pt_id": np.arange(len(seam_lon)),
+        "lon": seam_lon,
+        "lat": np.tile(rng.uniform(-20, 20, len(seam_lon) // 2), 2),
+    })
+    # exact seam/corner points: both ±180 columns are inside (the
+    # two-part convention makes the seam a shared boundary, and the
+    # boundary-inclusive spec counts it for both parts)
+    corners = pd.DataFrame({
+        "pt_id": np.arange(10_000, 10_006),
+        "lon": [180.0, -180.0, 179.5, -179.5, 170.0, -170.0],
+        "lat": [0.0, 0.0, 15.0, -15.0, 3.0, 3.0],
+    })
+    pts = spark.createDataFrame(pd.concat([pts_pdf, corners]))
+    got = _pip_sets(pip_join(pts, prep).toPandas())
+    exp = _pip_sets(pip_join_brute(pts, P.valid_polygon_list()).toPandas())
+    assert got == exp
+    hit530 = {p for p, pid in got if pid == 530}
+    # every in-range seam point lands in 530, from BOTH sides
+    assert {10_000, 10_001, 10_002, 10_003, 10_004, 10_005} <= hit530
+    west = {p for p in hit530 if p < 10_000 and pts_pdf.lon[p] > 0}
+    east = {p for p in hit530 if p < 10_000 and pts_pdf.lon[p] < 0}
+    assert len(west) > 50 and len(east) > 50
