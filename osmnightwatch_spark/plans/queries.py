@@ -742,6 +742,65 @@ def _sql_decontaminate():
     )
 
 
+def q_corpus_build(spark, sf_dir):
+    """The full corpus-build pipeline chained as ONE plan (VERDICT r3
+    #7): minhash candidate pairs → transitive dedup clusters → keep one
+    representative per cluster → benchmark decontamination → stratified
+    language mixing → sequence packing. Output is the packing plan
+    (doc_id, shard, bin_id, offset, n_tokens) — the artifact a training
+    job consumes. Proves the LLM-pipeline operators compose (shared
+    lineage, no cache leaking between stages), not just pass alone:
+    the SQL twin recomputes the same chain end-to-end in DuckDB."""
+    from ..operators.sampling import pack_sequences, stratified_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # near-dup EDGES need a real match (≥ half the bands agree): the
+    # generator's tiny shared vocab means 1-of-8 band collisions chain
+    # 98% of the corpus into a handful of clusters — a degenerate
+    # dedup that would empty the pipeline, not clean it
+    pairs = D.minhash_lsh_pairs(d, "doc_id", bands=8).where(
+        F.col("n_shared_bands") >= 4
+    )
+    clusters = D.dedup_clusters(pairs, all_ids=d, id_col="doc_id")
+    keepers = clusters.where(F.col("doc_id") == F.col("keeper_id")).select("doc_id")
+    deduped = d.join(keepers, "doc_id", "left_semi")
+    train = deduped.where(F.col("doc_id") % 20 != 7)
+    bench = d.where(F.col("doc_id") % 20 == 7)
+    clean = D.decontaminate(train, bench, min_shared=1, min_shared_frac=0.9)
+    sampled = stratified_sample(clean, "lang", _MIX_FRACTIONS, "doc_id",
+                                default=_MIX_DEFAULT)
+    return pack_sequences(
+        sampled.withColumn("_nt", TX.token_count(F.col("text"))),
+        "doc_id", "_nt", max_tokens=512, n_shards=8,
+    )
+
+
+def _sql_corpus_build() -> str:
+    from ..operators.sampling import pack_sequences_sql, stratified_sample_sql
+
+    strong_pairs = (f"SELECT * FROM ({_sql_minhash_pairs()}) "
+                    "WHERE n_shared_bands >= 4")
+    clusters = D.dedup_clusters_sql(
+        strong_pairs, id_col="doc_id",
+        all_ids_sql="SELECT doc_id FROM documents",
+    )
+    keepers = f"(SELECT doc_id FROM ({clusters}) WHERE doc_id = keeper_id)"
+    dedup = f"(SELECT d.* FROM documents d JOIN {keepers} k USING (doc_id))"
+    train = f"(SELECT * FROM {dedup} WHERE doc_id % 20 <> 7)"
+    clean = D.decontaminate_sql(
+        train, "SELECT * FROM documents WHERE doc_id % 20 = 7",
+        min_shared=1, min_shared_frac=0.9, select="*",
+    )
+    sampled = stratified_sample_sql(
+        f"({clean})", "lang", _MIX_FRACTIONS, "doc_id",
+        default=_MIX_DEFAULT, select="*",
+    )
+    return pack_sequences_sql(
+        f"({sampled})", "doc_id", TX.token_count_sql("text"),
+        max_tokens=512, n_shards=8,
+    )
+
+
 def q_simhash_groups(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return D.simhash_dup_groups(d, "doc_id")
@@ -1322,6 +1381,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "pack_sequences": q_pack_sequences,
     "decontaminate": q_decontaminate,
+    "corpus_build": q_corpus_build,
     "simhash_groups": q_simhash_groups,
     "cosine_topk": q_cosine_topk,
     "lsh_histogram": q_lsh_histogram,
@@ -1374,6 +1434,7 @@ ORACLES: dict[str, str] = {
     "stratified_sample": _sql_stratified_sample(),
     "pack_sequences": _sql_pack_sequences(),
     "decontaminate": _sql_decontaminate(),
+    "corpus_build": _sql_corpus_build(),
     "simhash_groups": _sql_simhash_groups(),
     "cosine_topk": SQL_cosine_topk,
     "lsh_histogram": _sql_lsh_histogram(),
