@@ -134,6 +134,35 @@ def write_images(spark: SparkSession, path: str, n: int, seed: int = 42) -> str:
     return path
 
 
+SLIM_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType(), False),
+    T.StructField("phash", T.LongType(), False),
+])
+
+
+def write_images_slim(spark: SparkSession, path: str, n: int,
+                      seed: int = 42) -> str:
+    """Metadata-only images table for scale studies past the disk
+    budget: the SAME deterministic generator (pixels are synthesized
+    and phash'd per row) but the bytes are dropped before writing —
+    the flagship trunk reads only (image_id, phash), so its timing is
+    identical while sf10 (20M rows) costs ~0.4 GB instead of ~83 GB.
+    """
+    marker = os.path.join(path, "_SUCCESS")
+    if os.path.exists(marker):
+        return path
+    partitions = max(8, min(512, n // 32768 or 1))
+
+    def gen(batches):
+        for pdf in batches:
+            out = generate_batch(pdf["id"].to_numpy(), seed)
+            yield out[["image_id", "phash"]]
+
+    (spark.range(0, n, 1, partitions).mapInPandas(gen, SLIM_SCHEMA)
+     .write.mode("overwrite").parquet(path))
+    return path
+
+
 def with_geo(df: DataFrame, phash_col: str = "phash") -> DataFrame:
     """Attach lon/lat — native column arithmetic (JVM-side, no UDF).
 
