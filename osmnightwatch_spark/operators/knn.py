@@ -217,7 +217,8 @@ def knn_join(probes: DataFrame, candidates: DataFrame, k: int,
              lon: str = "lon", lat: str = "lat",
              exact: bool = True, materialize: bool = True,
              n_candidates: int | None = None,
-             metric: str = "planar") -> DataFrame:
+             metric: str = "planar",
+             broadcast_probes: bool | None = None) -> DataFrame:
     """Returns (probe_id, cand_id, dist2, rank) — per probe the k
     nearest candidates, rank 1..k by (dist2, cand_id) (deterministic
     tie-break). Probes and candidates may be the same table (self-kNN
@@ -273,7 +274,13 @@ def knn_join(probes: DataFrame, candidates: DataFrame, k: int,
             n_candidates = candidates.count()
         res = auto_res(n_candidates, k)
     n_probes = probes.count() if (exact and materialize) else None
-    bcast_probes = n_probes is not None and n_probes <= BROADCAST_PROBE_MAX
+    # auto: broadcast the ring-exploded probe side when the probe set
+    # is small (see BROADCAST_PROBE_MAX); callers with out-of-band
+    # knowledge (self-kNN, lazy plans) can force either way
+    if broadcast_probes is not None:
+        bcast_probes = broadcast_probes
+    else:
+        bcast_probes = n_probes is not None and n_probes <= BROADCAST_PROBE_MAX
     p = probes.select(
         F.col(probe_id).alias("_pid"),
         F.col(lon).alias("_plon"),

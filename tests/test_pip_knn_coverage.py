@@ -318,3 +318,29 @@ def test_pip_covering_antimeridian_polygon(spark):
     west = {p for p in hit530 if p < 10_000 and pts_pdf.lon[p] > 0}
     east = {p for p in hit530 if p < 10_000 and pts_pdf.lon[p] < 0}
     assert len(west) > 50 and len(east) > 50
+
+
+def test_knn_probe_side_broadcast_direction(spark):
+    """The cell equi-join must build its hash relation from the SMALL
+    (ring-exploded probe) side. Left to AQE with this session's 64 MB
+    broadcast ceiling, the 200k-row candidate side was chosen as the
+    build side (BuildRight) — rebuilding an ~8 MB hash relation per
+    run dominated knn_join_k5. The broadcast_probes hint drives the
+    same code path the materialized auto-decision uses."""
+    pts = pd.DataFrame({
+        "probe_id": np.arange(40), "lon": np.linspace(-170, 170, 40),
+        "lat": np.linspace(-80, 80, 40)})
+    probes = spark.createDataFrame(pts)
+    cands = spark.createDataFrame(
+        pd.DataFrame({
+            "cand_id": np.arange(5000),
+            "lon": np.linspace(-179, 179, 5000),
+            "lat": np.linspace(-84, 84, 5000)}))
+    lazy = knn_join(probes, cands, k=3, res=5, exact=False,
+                    broadcast_probes=True)
+    lazy.collect()  # finalize the adaptive plan before reading it
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the probe expansion (explode of the ring array) is the LEFT side
+    # of the join; its broadcast makes the build side BuildLeft
+    assert "BuildLeft" in plan.split("BroadcastHashJoin", 1)[1].split("\n")[0]
