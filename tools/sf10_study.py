@@ -57,12 +57,23 @@ def main() -> None:
     from osmnightwatch_spark.sources.images import write_images_slim
 
     out: dict = {"load_1m_start": os.getloadavg()[0]}
-    spark = get_spark("sf10-study", cores=32)
+
+    def emit(k, v):
+        out[k] = v
+        print(json.dumps({k: v}), flush=True)  # partial progress survives a crash
+    # local-mode heartbeats share the JVM with the work: a >10 s full
+    # GC (or a co-tenant host freeze — observed load 30+) times out the
+    # executor-driver RPC and Spark shuts itself down mid-stage. Long
+    # single-JVM studies need lenient timeouts.
+    spark = get_spark("sf10-study", cores=32, extra={
+        "spark.executor.heartbeatInterval": "60s",
+        "spark.network.timeout": "600s",
+    })
 
     img_path = os.path.join(REPO, "data", "images_sf10_slim")
     t0 = time.time()
     write_images_slim(spark, img_path, N_IMAGES)
-    out["gen_images_sec"] = round(time.time() - t0, 1)
+    emit("gen_images_sec", round(time.time() - t0, 1))
 
     imgs = spark.read.parquet(img_path)
     flagship(imgs).count()  # warm
@@ -71,36 +82,46 @@ def main() -> None:
         t0 = time.time()
         n_out = flagship(imgs).count()
         best = min(best or 1e9, time.time() - t0)
-    out["flagship_sf10"] = {
+    emit("flagship_sf10", {
         "n_images": N_IMAGES, "rollup_rows": n_out, "sec": round(best, 2),
         "images_per_sec": round(N_IMAGES / best, 1),
-    }
+    })
 
     doc_path = os.path.join(REPO, "data", "docs_sf10")
     ensure_docs(doc_path)
     docs = spark.read.parquet(doc_path + "/documents.parquet")
     n_docs = docs.count()
+    # the synthetic corpus's tiny shared vocab makes band minima collide
+    # massively: at 500k docs most buckets approach the default 1000-cap
+    # and the pair join explodes quadratically INSIDE buckets (O(cap²)
+    # per bucket × thousands of buckets ≈ 10^9-10^10 join rows — a
+    # corpus artifact, not a throughput property). max_bucket is the
+    # operator's documented skew guard for exactly this; 100 keeps the
+    # join linear-ish while still emitting millions of candidate pairs.
+    MAXB = 100
     t0 = time.time()
-    n_pairs = D.minhash_lsh_pairs(docs, "doc_id").count()
+    n_pairs = D.minhash_lsh_pairs(docs, "doc_id", max_bucket=MAXB).count()
     sec_pairs = time.time() - t0
     t0 = time.time()
-    n_pairs2 = D.minhash_lsh_pairs(docs, "doc_id").count()
+    n_pairs2 = D.minhash_lsh_pairs(docs, "doc_id", max_bucket=MAXB).count()
     sec_pairs = min(sec_pairs, time.time() - t0)
-    out["minhash_sf10"] = {
+    emit("minhash_sf10", {
         "n_docs": n_docs, "n_pairs": n_pairs, "sec": round(sec_pairs, 2),
         "pairs_per_sec": round(n_pairs / sec_pairs, 1),
         "docs_per_sec": round(n_docs / sec_pairs, 1),
-    }
+    })
 
-    strong = D.minhash_lsh_pairs(docs, "doc_id").where(
+    strong = D.minhash_lsh_pairs(docs, "doc_id", max_bucket=MAXB).where(
         F.col("n_shared_bands") >= 4)
     t0 = time.time()
-    clusters = D.dedup_clusters(strong, all_ids=docs, id_col="doc_id")
+    # ~500k-node near-path components need ~log2(n) jump rounds; 20 is marginal
+    clusters = D.dedup_clusters(strong, all_ids=docs, id_col="doc_id",
+                                max_iters=40)
     n_keep = clusters.where(F.col("doc_id") == F.col("keeper_id")).count()
-    out["clusters_sf10"] = {
+    emit("clusters_sf10", {
         "n_docs": n_docs, "n_keepers": n_keep,
         "sec": round(time.time() - t0, 2),
-    }
+    })
     out["load_1m_end"] = os.getloadavg()[0]
     spark.stop()
     print(json.dumps(out))
