@@ -55,9 +55,9 @@ def main() -> None:
     n_q, n_o = registry_counts()
     assert n_q == n_o, f"queries ({n_q}) != oracles ({n_o})"
     subs = [
-        (r"Test count: \d+[^.\n]*\.",
+        (r"Test count: \d+[^\n]*\.",
          f"Test count: {n_tests} (generated — tools/gen_counts.py)."),
-        (r"\b\d+ pytest cases", f"{n_tests} pytest cases"),
+        (r"\b\d+ pytest\s+cases", f"{n_tests} pytest cases"),
         (r"\b\d+ registry queries", f"{n_q} registry queries"),
         (r"\b\d+/\d+ DuckDB-oracle-checked", f"{n_q}/{n_q} DuckDB-oracle-checked"),
         (r"the \d+-query surface", f"the {n_q}-query surface"),
