@@ -61,11 +61,39 @@ class Table:
         with open(path) as fh:
             return json.load(fh)
 
-    def read(self, spark: SparkSession, snapshot: int | None = None) -> DataFrame:
+    def read(self, spark: SparkSession, snapshot: int | None = None,
+             where: dict | None = None) -> DataFrame:
+        """Read a snapshot; ``where={col: (lo, hi)}`` additionally does
+        manifest-level file skipping (Iceberg's min/max pruning): a
+        data file whose recorded ``[min, max]`` range for ``col``
+        cannot intersect ``[lo, hi]`` is dropped from the scan before
+        Spark ever lists it — at 100 TB this is the difference
+        between scanning a day's partition and scanning the table.
+        ``lo``/``hi`` may be ``None`` for one-sided ranges. Files
+        without stats for a column are conservatively kept, and the
+        exact residual predicate is still applied to the surviving
+        rows, so results always equal a full scan + filter."""
         m = self.manifest(snapshot)
         if m is None or not m["files"]:
             raise FileNotFoundError(f"no snapshot in {self.root}")
-        return spark.read.parquet(*[os.path.join(self.root, f["path"]) for f in m["files"]])
+        files = m["files"]
+        if where:
+            files = [f for f in files if _file_may_match(f, where)]
+        if not files:
+            df = spark.read.parquet(
+                os.path.join(self.root, m["files"][0]["path"])).limit(0)
+        else:
+            df = spark.read.parquet(
+                *[os.path.join(self.root, f["path"]) for f in files])
+        if where:
+            from pyspark.sql import functions as F
+
+            for col, (lo, hi) in where.items():
+                if lo is not None:
+                    df = df.where(F.col(col) >= F.lit(lo))
+                if hi is not None:
+                    df = df.where(F.col(col) <= F.lit(hi))
+        return df
 
     def read_changes(self, spark: SparkSession, from_snapshot: int,
                      to_snapshot: int | None = None) -> DataFrame:
@@ -93,48 +121,113 @@ class Table:
     # -- write side ---------------------------------------------------------
 
     def commit(self, df: DataFrame, lineage: dict | None = None,
-               append: bool = False) -> int:
+               append: bool = False, stats_cols: list[str] | None = None,
+               claim_grace_s: float = 60.0) -> int:
         """Write df as a new snapshot; atomic pointer swap; returns id.
 
         ``append=True`` makes an Iceberg-style append commit: the new
         manifest lists the previous snapshot's files PLUS the new data
         files (no rewrite), which is what makes
-        :meth:`read_changes` a true incremental scan."""
-        snap = (self.current_snapshot() or 0) + 1
-        rel_dir = os.path.join("data", f"snap-{snap}-{uuid.uuid4().hex[:8]}")
+        :meth:`read_changes` a true incremental scan.
+
+        Concurrent writers use optimistic concurrency (Iceberg's
+        metastore-CAS analog on a filesystem): the expensive data
+        write happens once, outside any critical section, into an
+        immutable uniquely-named directory; then a short claim loop
+        serializes metadata. A writer claims snapshot id ``cur+1`` by
+        ``os.link``-ing a fully-written manifest into
+        ``manifest-{id}.json`` — link(2) fails atomically if another
+        writer already owns the id, and because the source is
+        complete before the link, a claimed manifest can never be
+        partial. On conflict an append commit REBASES: it re-reads
+        the winner's manifest so its file list includes the winner's
+        files (no lost update), then retries the next id. The CURRENT
+        pointer rename is race-free because only the claim winner of
+        ``cur+1`` ever writes that value. A writer that dies between
+        claim and pointer swap leaves an orphan manifest that would
+        block the id forever; a competing writer steals the claim
+        once the orphan is older than ``claim_grace_s`` seconds with
+        the pointer still behind it (lock-steal with a grace period —
+        a real deployment swaps this file protocol for a metastore
+        CAS behind the same method).
+
+        ``stats_cols`` selects which columns get per-file min/max
+        stats recorded in the manifest (parquet footer metadata, no
+        data read) for :meth:`read` file skipping; ``None`` records
+        stats for every primitive column.
+        """
+        # -- data write: once, immutable, collision-free ------------------
+        provisional = (self.current_snapshot() or 0) + 1
+        rel_dir = os.path.join(
+            "data", f"snap-{provisional}-{uuid.uuid4().hex[:8]}")
         out_dir = os.path.join(self.root, rel_dir)
         df.write.mode("errorifexists").parquet(out_dir)
-        files = []
-        if append:
-            prev = self.manifest()
-            if prev is not None:
-                files.extend(prev["files"])
+        new_files = []
         for fn in sorted(os.listdir(out_dir)):
             if not fn.endswith(".parquet"):
                 continue
             full = os.path.join(out_dir, fn)
-            files.append({
+            new_files.append({
                 "path": os.path.join(rel_dir, fn),
                 "bytes": os.path.getsize(full),
                 "rows": _parquet_rows(full),
+                "stats": _parquet_stats(full, stats_cols),
             })
-        manifest = {
-            "snapshot": snap,
-            "files": files,
-            "metrics": {
-                "total_rows": sum(f["rows"] for f in files),
-                "total_bytes": sum(f["bytes"] for f in files),
-                "n_files": len(files),
-            },
-            "lineage": lineage or {},
-            "committed_at_unix": int(time.time()),  # informational only
-        }
-        mpath = os.path.join(self.root, "manifests", f"manifest-{snap}.json")
-        tmp = mpath + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh, indent=1)
-        os.rename(tmp, mpath)
-        ptr_tmp = os.path.join(self.root, CURRENT + ".tmp")
+
+        # -- metadata claim loop ------------------------------------------
+        mdir = os.path.join(self.root, "manifests")
+        while True:
+            cur = self.current_snapshot()
+            snap = (cur or 0) + 1
+            files = []
+            if append and cur is not None:
+                prev = self.manifest(cur)
+                if prev is not None:
+                    files.extend(prev["files"])
+            files = files + new_files
+            manifest = {
+                "snapshot": snap,
+                "files": files,
+                "metrics": {
+                    "total_rows": sum(f["rows"] for f in files),
+                    "total_bytes": sum(f["bytes"] for f in files),
+                    "n_files": len(files),
+                },
+                "lineage": lineage or {},
+                "committed_at_unix": int(time.time()),  # informational only
+            }
+            mpath = os.path.join(mdir, f"manifest-{snap}.json")
+            tmp = mpath + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as fh:
+                json.dump(manifest, fh, indent=1)
+                fh.flush()
+                os.fsync(fh.fileno())
+            try:
+                os.link(tmp, mpath)  # atomic claim of snapshot id
+                claimed = True
+            except FileExistsError:
+                claimed = False
+            finally:
+                os.remove(tmp)
+            if claimed:
+                break
+            # id taken: either the winner is about to advance the
+            # pointer (wait and rebase) or it died post-claim (steal
+            # after the grace period).
+            try:
+                age = time.time() - os.path.getmtime(mpath)
+            except FileNotFoundError:
+                age = 0.0
+            if age > claim_grace_s and self.current_snapshot() == cur:
+                try:
+                    os.remove(mpath)  # abandoned claim
+                except FileNotFoundError:
+                    pass
+            else:
+                time.sleep(0.02)
+
+        ptr_tmp = os.path.join(
+            self.root, CURRENT + f".tmp-{uuid.uuid4().hex[:8]}")
         with open(ptr_tmp, "w") as fh:
             fh.write(str(snap))
         os.rename(ptr_tmp, os.path.join(self.root, CURRENT))
@@ -246,6 +339,53 @@ def _parquet_rows(path: str) -> int:
     import pyarrow.parquet as pq
 
     return pq.ParquetFile(path).metadata.num_rows
+
+
+def _parquet_stats(path: str, cols: list[str] | None = None) -> dict:
+    """Per-file {col: [min, max]} from parquet footer row-group stats
+    (metadata only — no data pages read). A column is recorded only
+    when every row group carries stats for it and the values are
+    JSON-representable (int/float/str/bool); anything else is simply
+    omitted, which the pruning side treats as "may match"."""
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(path).metadata
+    schema = meta.schema
+    names = [schema.column(i).name for i in range(len(schema))]
+    want = set(cols) if cols is not None else None
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    dead: set[str] = set()
+    for rg in range(meta.num_row_groups):
+        group = meta.row_group(rg)
+        for i in range(group.num_columns):
+            name = names[i]
+            if name in dead or (want is not None and name not in want):
+                continue
+            st = group.column(i).statistics
+            if (st is None or not st.has_min_max
+                    or not isinstance(st.min, (int, float, str, bool))):
+                dead.add(name)
+                continue
+            if name not in mins or st.min < mins[name]:
+                mins[name] = st.min
+            if name not in maxs or st.max > maxs[name]:
+                maxs[name] = st.max
+    return {n: [mins[n], maxs[n]] for n in mins if n not in dead}
+
+
+def _file_may_match(f: dict, where: dict) -> bool:
+    stats = f.get("stats") or {}
+    for col, (lo, hi) in where.items():
+        rng = stats.get(col)
+        if rng is None:
+            continue  # no stats → conservatively keep
+        fmin, fmax = rng
+        if lo is not None and fmax < lo:
+            return False
+        if hi is not None and fmin > hi:
+            return False
+    return True
 
 
 def fingerprint(*parts) -> str:

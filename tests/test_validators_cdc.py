@@ -440,3 +440,109 @@ def test_catalog_expire_snapshots(spark, tmp_path):
     assert t.read(spark).count() == 80
     with pytest.raises(ValueError):
         t.expire_snapshots()
+
+
+def test_catalog_concurrent_append_commits(spark, tmp_path):
+    """Optimistic-concurrency commit: concurrent append writers get
+    serialized snapshot ids and none loses the other's files (the
+    conflict path rebases the manifest on the winner's before
+    retrying) — the Iceberg multi-writer CAS semantics VERDICT r3
+    flagged as untested."""
+    import threading
+
+    from osmnightwatch_spark.sources.catalog import Table
+
+    root = str(tmp_path / "tbl")
+    Table(root).commit(spark.range(0, 10).withColumnRenamed("id", "v"))
+
+    ids, errors = [], []
+
+    def worker(i: int) -> None:
+        try:
+            t = Table(root)  # each writer its own handle
+            s = t.commit(
+                spark.range(100 * i, 100 * i + 10).withColumnRenamed("id", "v"),
+                append=True)
+            ids.append(s)
+        except Exception as e:  # pragma: no cover - surfaced via assert
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(1, 7)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+
+    assert not errors
+    # ids are unique and exactly the next 6 snapshots
+    assert sorted(ids) == [2, 3, 4, 5, 6, 7]
+    t = Table(root)
+    assert t.current_snapshot() == 7
+    # no lost update: head sees the base 10 rows + all 6 writers' rows
+    got = sorted(r.v for r in t.read(spark).collect())
+    want = sorted(list(range(10)) + [100 * i + j for i in range(1, 7)
+                                     for j in range(10)])
+    assert got == want
+    # the head manifest's file list contains every earlier snapshot's files
+    head = {f["path"] for f in t.manifest()["files"]}
+    for s in range(1, 7):
+        assert {f["path"] for f in t.manifest(s)["files"]} <= head
+
+
+def test_catalog_stale_claim_steal(spark, tmp_path):
+    """A writer that died between manifest claim and pointer swap must
+    not block the table forever: after claim_grace_s with the pointer
+    still behind, the orphan claim is stolen."""
+    import json
+    import os
+
+    from osmnightwatch_spark.sources.catalog import Table
+
+    root = str(tmp_path / "tbl")
+    t = Table(root)
+    t.commit(spark.range(0, 5).withColumnRenamed("id", "v"))
+    # simulate a dead writer: claimed manifest-2 exists, pointer still 1
+    orphan = os.path.join(root, "manifests", "manifest-2.json")
+    with open(orphan, "w") as fh:
+        json.dump({"snapshot": 2, "files": [], "metrics": {}, "lineage": {}},
+                  fh)
+    assert t.current_snapshot() == 1
+
+    s = t.commit(spark.range(5, 9).withColumnRenamed("id", "v"),
+                 append=True, claim_grace_s=0.0)
+    assert s == 2 and t.current_snapshot() == 2
+    assert sorted(r.v for r in t.read(spark).collect()) == list(range(9))
+
+
+def test_catalog_stats_pruned_read(spark, tmp_path):
+    """Manifest min/max file skipping: a range read over a
+    range-partitioned snapshot scans only the files whose stats
+    intersect the range, and returns exactly full-scan + filter."""
+    from osmnightwatch_spark.sources.catalog import Table
+
+    t = Table(str(tmp_path / "tbl"))
+    df = (spark.range(0, 10_000)
+          .selectExpr("id AS v", "CAST(id % 7 AS STRING) AS tag")
+          .repartitionByRange(8, "v"))
+    t.commit(df)
+    m = t.manifest()
+    assert m["metrics"]["n_files"] == 8
+    # every file carries v stats from the parquet footer
+    assert all("v" in f["stats"] for f in m["files"])
+
+    pruned = t.read(spark, where={"v": (2000, 2600)})
+    full = t.read(spark).where("v BETWEEN 2000 AND 2600")
+    assert sorted(r.v for r in pruned.collect()) == \
+        sorted(r.v for r in full.collect())
+    # the scan itself touched fewer files than the snapshot has
+    assert 0 < len(pruned.inputFiles()) < m["metrics"]["n_files"]
+
+    # one-sided range + string column stats
+    hi = t.read(spark, where={"v": (9990, None)})
+    assert sorted(r.v for r in hi.collect()) == list(range(9990, 10_000))
+    tagged = t.read(spark, where={"tag": ("6", "6")})
+    assert set(r.tag for r in tagged.collect()) == {"6"}
+
+    # empty intersection prunes everything but keeps the schema
+    none = t.read(spark, where={"v": (50_000, 60_000)})
+    assert none.count() == 0 and none.columns == ["v", "tag"]
