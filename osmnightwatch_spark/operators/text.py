@@ -375,3 +375,57 @@ FROM (
     GROUP BY 1, 2)
   GROUP BY {id_col})
 """.strip()
+
+
+# --- PII scrubbing ---------------------------------------------------------
+
+# One source of truth for both engines: (name, pattern, replacement).
+# Patterns deliberately use only syntax with identical semantics in
+# Java regex (Spark) and RE2 (DuckDB): character classes, bounded
+# repetition, and \b word boundaries — no lookaround, no backrefs.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_scrub(df: DataFrame, text: str = "text") -> DataFrame:
+    """Redact common PII (emails, IPv4 addresses, NANP-style phone
+    numbers) from ``text`` and append per-document match counts
+    (``n_email``/``n_ipv4``/``n_phone``) — the corpus-sanitization
+    pass a training-data pipeline runs before packing. Counts are
+    taken per pattern on the RAW text; replacement is sequential in
+    ``PII_PATTERNS`` order (email first, so a dotted-quad inside an
+    already-redacted match is never double-counted in the output
+    text). All other columns pass through unchanged.
+
+    100 TB: a stateless per-row projection — native ``regexp_count``
+    / ``regexp_replace`` inside whole-stage codegen, zero shuffles,
+    zero Python; throughput is scan-bound and scales linearly with
+    executors.
+    """
+    counts = [
+        F.regexp_count(F.col(text), F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    scrubbed = F.col(text)
+    for _name, pat, repl in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    others = [c for c in df.columns if c != text]
+    return df.select(*others, *counts, scrubbed.alias(text))
+
+
+def pii_scrub_sql(table: str = "documents", id_col: str = "doc_id",
+                  text: str = "text") -> str:
+    """DuckDB twin of :func:`pii_scrub` (id + counts + scrubbed text),
+    built from the same ``PII_PATTERNS`` tuples."""
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all({text}, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    scrubbed = text
+    for _name, pat, repl in PII_PATTERNS:
+        scrubbed = f"regexp_replace({scrubbed}, '{pat}', '{repl}', 'g')"
+    return (f"SELECT {id_col}, {counts}, {scrubbed} AS {text} "
+            f"FROM {table}")

@@ -617,6 +617,50 @@ def q_fingerprint(spark, sf_dir):
 SQL_fingerprint = "SELECT doc_id, md5(text) AS fingerprint FROM documents"
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction pass: the synthetic corpus carries no PII, so
+    deterministic emails/IPs/phone numbers derived from doc_id are
+    injected first (the identical expression appears in the SQL twin),
+    then scrubbed with the native regexp pipeline; output is per-doc
+    counts + an md5 of the scrubbed text (pins every replaced byte)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    injected = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"), F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.org from 10."),
+            (F.col("doc_id") % 200).cast("string"), F.lit(".0."),
+            (F.col("doc_id") % 250).cast("string"), F.lit(" tel 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    )
+    return TX.pii_scrub(injected).select(
+        "doc_id", "n_email", "n_ipv4", "n_phone",
+        F.length("text").cast("long").alias("len_scrubbed"),
+        F.md5(F.col("text")).alias("scrub_md5"),
+    )
+
+
+def _sql_pii_scrub():
+    inject = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+        "'@example.org from 10.' || CAST(doc_id % 200 AS VARCHAR) || "
+        "'.0.' || CAST(doc_id % 250 AS VARCHAR) || ' tel 555-' || "
+        "lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || "
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    )
+    inner = TX.pii_scrub_sql(
+        table=f"(SELECT doc_id, {inject} AS text FROM documents)")
+    return (
+        "SELECT doc_id, n_email, n_ipv4, n_phone, "
+        "CAST(length(text) AS BIGINT) AS len_scrubbed, "
+        f"md5(text) AS scrub_md5 FROM ({inner})"
+    )
+
+
 def q_jaccard_topk(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return D.jaccard_topk(d, "doc_id", k=20)
@@ -1375,6 +1419,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition": q_repetition,
     "corpus_profile": q_corpus_profile,
     "fingerprint": q_fingerprint,
+    "pii_scrub": q_pii_scrub,
     "jaccard_topk": q_jaccard_topk,
     "minhash_pairs": q_minhash_pairs,
     "dedup_clusters": q_dedup_clusters,
@@ -1428,6 +1473,7 @@ ORACLES: dict[str, str] = {
     "repetition": SQL_repetition,
     "corpus_profile": SQL_corpus_profile,
     "fingerprint": SQL_fingerprint,
+    "pii_scrub": _sql_pii_scrub(),
     "jaccard_topk": _sql_jaccard_topk(),
     "minhash_pairs": _sql_minhash_pairs(),
     "dedup_clusters": _sql_dedup_clusters(),

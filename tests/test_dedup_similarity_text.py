@@ -413,3 +413,28 @@ def test_repetition_signals(spark):
     assert out.loc[1].n_tokens == 6 and out.loc[1].top_token_pm == 833
     assert out.loc[1].frac_distinct_pm == 333
     assert out.loc[2].frac_distinct_pm == 1000 and out.loc[2].top_token_pm == 166
+
+
+def test_pii_scrub(spark):
+    """pii_scrub redacts emails/IPv4s/phones with raw-text counts; the
+    non-text columns pass through; non-PII lookalikes survive
+    (version strings, 2-3-4-digit numbers)."""
+    d = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "lang": ["en", "de", "fr"],
+        "text": [
+            "mail a.b+c@x-y.org or 10.0.0.1 tel 555-010-1234",
+            "ver 1.2.3.4.5 id 12-345-6789 nothing@else",  # lookalikes
+            "two mails p@q.io r@s.net and 192.168.0.255",
+        ],
+    }))
+    out = TX.pii_scrub(d).toPandas().set_index("doc_id").sort_index()
+    assert list(out.columns) == ["lang", "n_email", "n_ipv4", "n_phone", "text"]
+    assert out.loc[1].text == "mail <EMAIL> or <IP> tel <PHONE>"
+    assert (out.loc[1].n_email, out.loc[1].n_ipv4, out.loc[1].n_phone) == (1, 1, 1)
+    # '1.2.3.4' inside '1.2.3.4.5' still matches (parity with RE2
+    # leftmost-first); '12-345-6789' and a TLD-less '@else' do not
+    assert out.loc[2].text == "ver <IP>.5 id 12-345-6789 nothing@else"
+    assert (out.loc[2].n_email, out.loc[2].n_phone) == (0, 0)
+    assert out.loc[3].n_email == 2 and out.loc[3].n_ipv4 == 1
+    assert out.loc[3].lang == "fr"
