@@ -350,8 +350,6 @@ def _parquet_stats(path: str, cols: list[str] | None = None) -> dict:
     import pyarrow.parquet as pq
 
     meta = pq.ParquetFile(path).metadata
-    schema = meta.schema
-    names = [schema.column(i).name for i in range(len(schema))]
     want = set(cols) if cols is not None else None
     mins: dict[str, object] = {}
     maxs: dict[str, object] = {}
@@ -359,18 +357,22 @@ def _parquet_stats(path: str, cols: list[str] | None = None) -> dict:
     for rg in range(meta.num_row_groups):
         group = meta.row_group(rg)
         for i in range(group.num_columns):
-            name = names[i]
+            col = group.column(i)
+            name = col.path_in_schema  # dotted path: unambiguous for nested
             if name in dead or (want is not None and name not in want):
                 continue
-            st = group.column(i).statistics
+            st = col.statistics
             if (st is None or not st.has_min_max
                     or not isinstance(st.min, (int, float, str, bool))):
                 dead.add(name)
                 continue
-            if name not in mins or st.min < mins[name]:
-                mins[name] = st.min
-            if name not in maxs or st.max > maxs[name]:
-                maxs[name] = st.max
+            try:
+                if name not in mins or st.min < mins[name]:
+                    mins[name] = st.min
+                if name not in maxs or st.max > maxs[name]:
+                    maxs[name] = st.max
+            except TypeError:  # mixed types across row groups
+                dead.add(name)
     return {n: [mins[n], maxs[n]] for n in mins if n not in dead}
 
 
