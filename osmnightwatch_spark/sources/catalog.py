@@ -176,7 +176,13 @@ class Table:
 
         # -- metadata claim loop ------------------------------------------
         mdir = os.path.join(self.root, "manifests")
+        deadline = time.monotonic() + max(300.0, 5 * claim_grace_s)
         while True:
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"commit to {self.root} could not claim a snapshot id "
+                    f"(another writer holds the next id and the pointer "
+                    f"never advanced)")
             cur = self.current_snapshot()
             snap = (cur or 0) + 1
             files = []
