@@ -431,6 +431,7 @@ def dedup_clusters(pairs: DataFrame, all_ids: DataFrame | None = None,
             break
     else:
         free_local_checkpoint(sym)
+        free_local_checkpoint(labels)  # last round's node-sized blocks
         raise RuntimeError(
             f"dedup_clusters did not converge in {max_iters} rounds "
             f"({changed} labels still changing) — raise max_iters; a "

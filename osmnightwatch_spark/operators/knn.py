@@ -407,12 +407,10 @@ def knn_join(probes: DataFrame, candidates: DataFrame, k: int,
             return finish([ranked])
         good = ranked.join(ok, "_pid", "left_semi")
         residue = p.join(ok, "_pid", "left_anti")
-        # residue cardinality is known driver-side: broadcast the
-        # expansion round's probe side whenever the residue is small,
-        # even if the original probe set was too big to
-        bcast_probes = bcast_probes or (n_probes - n_ok) <= BROADCAST_PROBE_MAX
+        n_residue = n_probes - n_ok
     else:
         good, residue = exactness_split(ranked, p, 1)
+        n_residue = None
     parts = [good]
 
     # ring expansion (SURVEY §7.2(c)): residue probes rerun at r=8. A
@@ -423,7 +421,19 @@ def knn_join(probes: DataFrame, candidates: DataFrame, k: int,
     # but lat only clamps, so full cover needs the complete y range
     r_full = (1 << res) - 1
     r2 = min(8, r_full)
-    ranked2 = ring_topk(residue, r2)
+    # broadcast decision for the expansion round: BROADCAST_PROBE_MAX
+    # is sized for the ring-1 ×9 explode, so rescale the cap by this
+    # ring's (2r+1)² fan-out — a 15k-probe residue at r=8 explodes to
+    # ~4.3M rows, far past the hint's intent. An explicit caller
+    # broadcast_probes hint wins either way (the documented contract).
+    if broadcast_probes is not None:
+        bcast_r2 = broadcast_probes
+    elif n_residue is not None:
+        bcast_r2 = n_residue <= max(1, BROADCAST_PROBE_MAX * 9
+                                    // ((2 * r2 + 1) ** 2))
+    else:
+        bcast_r2 = bcast_probes  # lazy path: keep the ring-1 decision
+    ranked2 = ring_topk(residue, r2, bcast=bcast_r2)
     if r2 >= r_full:
         # the expanded ring already spans the whole grid: provably
         # exact by construction — no brute pass exists in the plan

@@ -104,7 +104,8 @@ def incremental_assemble(prev_assembled: DataFrame, nodes2: DataFrame,
 
 
 def incremental_tile_rollup(base_pts: DataFrame, changes: DataFrame,
-                            tile_res: int = 8, prepared=None) -> DataFrame:
+                            tile_res: int = 8, prepared=None,
+                            prev_rollup: DataFrame | None = None) -> DataFrame:
     """The reference's steady-state loop (``Program.cs:75-117``)
     composed for the images table: micro-batch of image upserts → CDC
     merge → dirty-tile recompute → rollup, as ONE plan.
@@ -132,9 +133,14 @@ def incremental_tile_rollup(base_pts: DataFrame, changes: DataFrame,
     proves incremental == full.
 
     Scale: the dirty tile set is broadcast to both the carry-forward
-    anti-join and the recompute semi-join — per micro-batch the engine
-    re-aggregates O(changed tiles), never the full corpus; the previous
-    rollup is the (small) published artifact read back, not recomputed.
+    anti-join and the recompute semi-join. In the steady-state loop the
+    caller MUST pass ``prev_rollup`` — the (small) published rollup of
+    ``base_pts`` read back from the previous batch's commit — so each
+    micro-batch re-aggregates O(changed tiles), never the full corpus.
+    When ``prev_rollup`` is None it is derived from ``base_pts`` inside
+    this plan (a full-corpus pass): that form exists for the
+    self-contained oracle query and the first batch of a stream, not
+    for the steady state.
     """
     from ..functions import cells as C
     from .pipeline import flagship_points
@@ -155,7 +161,9 @@ def incremental_tile_rollup(base_pts: DataFrame, changes: DataFrame,
     )
     dirty_tiles = old_tiles.unionByName(new_tiles).distinct()
 
-    prev = flagship_points(base_pts, tile_res=tile_res, prepared=prepared)
+    prev = (prev_rollup if prev_rollup is not None
+            else flagship_points(base_pts, tile_res=tile_res,
+                                 prepared=prepared))
     keep = prev.join(F.broadcast(dirty_tiles), "tile", "left_anti")
     dirty_pts = (
         C.attach_cell(merged, tile_res, out="tile")

@@ -54,21 +54,36 @@ _LAT_OFF = 1234567
 _M32 = 4294967296
 
 
-def _events_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    mlon = (F.col("event_id") * F.lit(_LON_MULT)) % F.lit(_M32)
-    mlat = (F.col("event_id") * F.lit(_LAT_MULT) + F.lit(_LAT_OFF)) % F.lit(_M32)
-    return ev.select(
-        "event_id",
-        (F.lit(-180.0) + mlon.cast("double") / F.lit(float(_M32)) * F.lit(360.0)).alias("lon"),
-        (F.lit(-85.0) + mlat.cast("double") / F.lit(float(_M32)) * F.lit(170.0)).alias("lat"),
+def _geo_lonlat(idc):
+    """lon/lat Columns from an id expression — THE single definition of
+    the events integer-arithmetic geotag (parametrized so changeset
+    payloads can derive moved positions from shifted ids); every
+    events-derived query and its SQL twin builds on this pair."""
+    mlon = (idc * F.lit(_LON_MULT)) % F.lit(_M32)
+    mlat = (idc * F.lit(_LAT_MULT) + F.lit(_LAT_OFF)) % F.lit(_M32)
+    return (
+        (F.lit(-180.0) + mlon.cast("double") / F.lit(float(_M32)) * F.lit(360.0)),
+        (F.lit(-85.0) + mlat.cast("double") / F.lit(float(_M32)) * F.lit(170.0)),
     )
 
 
+def _geo_lonlat_sql(id_expr: str) -> tuple[str, str]:
+    return (
+        f"(-180.0 + CAST(({id_expr}) * {_LON_MULT} % {_M32} AS DOUBLE) / {_M32}.0 * 360.0)",
+        f"(-85.0 + CAST((({id_expr}) * {_LAT_MULT} + {_LAT_OFF}) % {_M32} AS DOUBLE)"
+        f" / {_M32}.0 * 170.0)",
+    )
+
+
+def _events_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lon, lat = _geo_lonlat(F.col("event_id"))
+    return ev.select("event_id", lon.alias("lon"), lat.alias("lat"))
+
+
+_GEO_LON_SQL, _GEO_LAT_SQL = _geo_lonlat_sql("event_id")
 _GEO_SQL = (
-    "SELECT event_id, "
-    f"(-180.0 + CAST((event_id * {_LON_MULT}) % {_M32} AS DOUBLE) / {_M32}.0 * 360.0) AS lon, "
-    f"(-85.0 + CAST((event_id * {_LAT_MULT} + {_LAT_OFF}) % {_M32} AS DOUBLE) / {_M32}.0 * 170.0) AS lat "
+    f"SELECT event_id, {_GEO_LON_SQL} AS lon, {_GEO_LAT_SQL} AS lat "
     "FROM events"
 )
 
@@ -1274,26 +1289,6 @@ SQL_images_flagship = (
 # --- incremental flagship (steady-state loop composed end-to-end) ----------
 
 _GEO_SHIFT = 777001  # modified rows move: geo formula re-evaluated at id+shift
-
-
-def _geo_lonlat(idc):
-    """lon/lat Columns from an id expression (the documented events
-    integer-arithmetic geotag, parametrized so changeset payloads can
-    derive moved positions from shifted ids)."""
-    mlon = (idc * F.lit(_LON_MULT)) % F.lit(_M32)
-    mlat = (idc * F.lit(_LAT_MULT) + F.lit(_LAT_OFF)) % F.lit(_M32)
-    return (
-        (F.lit(-180.0) + mlon.cast("double") / F.lit(float(_M32)) * F.lit(360.0)),
-        (F.lit(-85.0) + mlat.cast("double") / F.lit(float(_M32)) * F.lit(170.0)),
-    )
-
-
-def _geo_lonlat_sql(id_expr: str) -> tuple[str, str]:
-    return (
-        f"(-180.0 + CAST(({id_expr}) * {_LON_MULT} % {_M32} AS DOUBLE) / {_M32}.0 * 360.0)",
-        f"(-85.0 + CAST((({id_expr}) * {_LAT_MULT} + {_LAT_OFF}) % {_M32} AS DOUBLE)"
-        f" / {_M32}.0 * 170.0)",
-    )
 
 
 def _pt_payload(idc, geo_idc):

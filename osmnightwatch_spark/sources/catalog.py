@@ -147,9 +147,22 @@ class Table:
         claim and pointer swap leaves an orphan manifest that would
         block the id forever; a competing writer steals the claim
         once the orphan is older than ``claim_grace_s`` seconds with
-        the pointer still behind it (lock-steal with a grace period —
-        a real deployment swaps this file protocol for a metastore
-        CAS behind the same method).
+        the pointer still behind it. The steal primitive is an atomic
+        ``os.rename`` of the orphan to a unique graveyard name — of N
+        concurrent stealers exactly one wins; the age and pointer
+        checks re-run immediately before the rename, so a freshly
+        re-claimed manifest (age ≈ 0) is never stolen. Because a
+        stalled-then-woken original writer could still race its
+        pointer rename against a thief, every claimed manifest
+        carries a ``writer`` uuid and the owner re-verifies it (and
+        that the pointer is still behind) right before the swap; a
+        stolen claim loops back and re-claims a fresh id instead of
+        publishing — the commit is delayed, never lost. The residual
+        window (theft between that verify and the rename) needs the
+        owner to stall longer than the grace period at exactly that
+        instruction — the documented limit of a filesystem protocol;
+        a real deployment swaps this for a metastore CAS behind the
+        same method signature.
 
         ``stats_cols`` selects which columns get per-file min/max
         stats recorded in the manifest (parquet footer metadata, no
@@ -176,7 +189,9 @@ class Table:
 
         # -- metadata claim loop ------------------------------------------
         mdir = os.path.join(self.root, "manifests")
+        writer = uuid.uuid4().hex
         deadline = time.monotonic() + max(300.0, 5 * claim_grace_s)
+        built_for: int | None = None  # avoid rebuilding while waiting
         while True:
             if time.monotonic() > deadline:
                 raise TimeoutError(
@@ -185,55 +200,80 @@ class Table:
                     f"never advanced)")
             cur = self.current_snapshot()
             snap = (cur or 0) + 1
-            files = []
-            if append and cur is not None:
-                prev = self.manifest(cur)
-                if prev is not None:
-                    files.extend(prev["files"])
-            files = files + new_files
-            manifest = {
-                "snapshot": snap,
-                "files": files,
-                "metrics": {
-                    "total_rows": sum(f["rows"] for f in files),
-                    "total_bytes": sum(f["bytes"] for f in files),
-                    "n_files": len(files),
-                },
-                "lineage": lineage or {},
-                "committed_at_unix": int(time.time()),  # informational only
-            }
             mpath = os.path.join(mdir, f"manifest-{snap}.json")
-            tmp = mpath + f".tmp-{uuid.uuid4().hex[:8]}"
-            with open(tmp, "w") as fh:
-                json.dump(manifest, fh, indent=1)
-                fh.flush()
-                os.fsync(fh.fileno())
+            if built_for != snap:
+                if built_for is not None:  # rebased: drop the stale tmp
+                    try:
+                        os.remove(os.path.join(
+                            mdir, f"manifest-{built_for}.json.tmp-{writer[:8]}"))
+                    except FileNotFoundError:
+                        pass
+                files = []
+                if append and cur is not None:
+                    prev = self.manifest(cur)
+                    if prev is not None:
+                        files.extend(prev["files"])
+                files = files + new_files
+                manifest = {
+                    "snapshot": snap,
+                    "writer": writer,
+                    "files": files,
+                    "metrics": {
+                        "total_rows": sum(f["rows"] for f in files),
+                        "total_bytes": sum(f["bytes"] for f in files),
+                        "n_files": len(files),
+                    },
+                    "lineage": lineage or {},
+                    "committed_at_unix": int(time.time()),  # informational
+                }
+                tmp = mpath + f".tmp-{writer[:8]}"
+                with open(tmp, "w") as fh:
+                    json.dump(manifest, fh, indent=1)
+                    fh.flush()
+                    os.fsync(fh.fileno())
+                built_for = snap
             try:
                 os.link(tmp, mpath)  # atomic claim of snapshot id
                 claimed = True
             except FileExistsError:
                 claimed = False
-            finally:
-                os.remove(tmp)
             if claimed:
-                break
+                os.remove(tmp)
+                # post-claim ownership verify just before the swap: a
+                # writer that stalled past the grace period may have
+                # been stolen from — publish nothing, re-claim instead
+                try:
+                    with open(mpath) as fh:
+                        owned = json.load(fh).get("writer") == writer
+                except (FileNotFoundError, json.JSONDecodeError):
+                    owned = False
+                cur_now = self.current_snapshot() or 0
+                if owned and cur_now < snap:
+                    break
+                built_for = None  # stolen or superseded: rebase + retry
+                continue
             # id taken: either the winner is about to advance the
             # pointer (wait and rebase) or it died post-claim (steal
-            # after the grace period).
+            # after the grace period). Age and pointer re-checked at
+            # the last instant; the steal itself is an atomic rename
+            # (only one of N stealers wins, and a file that was just
+            # re-claimed has age ~0 so it is never the rename target).
             try:
                 age = time.time() - os.path.getmtime(mpath)
             except FileNotFoundError:
                 age = 0.0
             if age > claim_grace_s and self.current_snapshot() == cur:
+                grave = mpath + f".stolen-{writer[:8]}"
                 try:
-                    os.remove(mpath)  # abandoned claim
+                    os.rename(mpath, grave)
+                    os.remove(grave)
                 except FileNotFoundError:
-                    pass
+                    pass  # another stealer won
             else:
                 time.sleep(0.02)
 
         ptr_tmp = os.path.join(
-            self.root, CURRENT + f".tmp-{uuid.uuid4().hex[:8]}")
+            self.root, CURRENT + f".tmp-{writer[:8]}")
         with open(ptr_tmp, "w") as fh:
             fh.write(str(snap))
         os.rename(ptr_tmp, os.path.join(self.root, CURRENT))

@@ -147,3 +147,44 @@ def test_incremental_flagship_equals_full_sf01(spark):
     # the batch actually changed something (guard against a vacuous test)
     prev = flagship_points(base, prepared=Q._prep_rect()).toPandas()
     assert not prev.sort_values(key).reset_index(drop=True).equals(full_s)
+
+
+def test_incremental_prev_rollup_artifact_path(spark):
+    """Steady-state form: passing the published prev rollup (read back
+    from the previous commit) must give exactly the derived-inside
+    result — and is the form whose per-batch plan contains NO
+    full-corpus pass over base_pts."""
+    import os
+
+    from osmnightwatch_spark.plans import queries as Q
+    from osmnightwatch_spark.plans.incremental import incremental_tile_rollup
+    from osmnightwatch_spark.plans.pipeline import flagship_points
+    from pyspark.sql import functions as F
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id")
+    cid = F.col("event_id")
+    lon, lat = Q._geo_lonlat(cid)
+    base = ev.where(cid % 10 != 0).select(
+        cid.alias("id"), ((cid * Q._PHASH_TWIN_MULT) % 1024).alias("phash"),
+        lon.alias("lon"), lat.alias("lat"),
+    )
+    src = ev.where(cid % 10 == 0)
+    changes = src.select(
+        F.lit("M").alias("op"), F.lit("image").alias("entity_type"),
+        (cid + 1).alias("id"), cid.cast("int").alias("version"),
+        Q._pt_payload(cid + 1, cid + 1 + Q._GEO_SHIFT).alias("payload"),
+    )
+    prep = Q._prep_rect()
+    prev_art = flagship_points(base, tile_res=8, prepared=prep)
+
+    derived = incremental_tile_rollup(
+        base, changes, tile_res=8, prepared=prep).toPandas()
+    artifact = incremental_tile_rollup(
+        base, changes, tile_res=8, prepared=prep,
+        prev_rollup=prev_art).toPandas()
+
+    key = ["polygon_id", "tile"]
+    d = derived.sort_values(key).reset_index(drop=True)
+    a = artifact.sort_values(key).reset_index(drop=True)
+    assert d.equals(a)

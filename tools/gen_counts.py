@@ -55,7 +55,7 @@ def main() -> None:
     n_q, n_o = registry_counts()
     assert n_q == n_o, f"queries ({n_q}) != oracles ({n_o})"
     subs = [
-        (r"Test count: \d+[^\n]*\.",
+        (r"Test count: \d+ \(generated[^)]*\)\.",
          f"Test count: {n_tests} (generated — tools/gen_counts.py)."),
         (r"\b\d+ pytest\s+cases", f"{n_tests} pytest cases"),
         (r"\b\d+ registry queries", f"{n_q} registry queries"),
