@@ -471,7 +471,14 @@ def q_knn_haversine(spark, sf_dir):
     latitude (|lat| > 60°), where a degree of longitude is under half a
     degree-of-latitude's metres and planar ranking misorders east-west
     vs north-south neighbors. The oracle is a brute-force DuckDB twin
-    using the identical haversine expression (``knn.haversine_sql``)."""
+    using the identical haversine expression (``knn.haversine_sql``).
+    Identical op order does NOT guarantee bit-equality of sin/asin
+    across JVM and DuckDB libm (each ≤1 ulp but not the same bits), so
+    the twin drops the distance column and relies on ranks — a rank
+    flip would need two candidate distances within ~1 ulp of each
+    other for the same probe, which the synthetic uniform geotags make
+    astronomically unlikely (and stable across every recorded sweep);
+    the planar metric stays the bit-exact default."""
     from ..operators.knn import knn_join
 
     geo = _events_geo(spark, sf_dir)
