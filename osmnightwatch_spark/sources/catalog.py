@@ -122,6 +122,7 @@ class Table:
 
     def commit(self, df: DataFrame, lineage: dict | None = None,
                append: bool = False, stats_cols: list[str] | None = None,
+               cluster_by: str | None = None, n_files: int = 32,
                claim_grace_s: float = 60.0) -> int:
         """Write df as a new snapshot; atomic pointer swap; returns id.
 
@@ -168,8 +169,24 @@ class Table:
         stats recorded in the manifest (parquet footer metadata, no
         data read) for :meth:`read` file skipping; ``None`` records
         stats for every primitive column.
+
+        ``cluster_by`` range-clusters the snapshot into ``n_files``
+        files sorted on that column before writing (Iceberg's
+        sort-order write). With the engine's interleaved cell ids —
+        a Z-order curve over (lon, lat) — clustering by a cell column
+        makes every data file cover a compact spatial block, so a
+        :meth:`read` with a cell-range ``where`` prunes to the few
+        files that actually intersect the region: the layout decision
+        that turns the 100 TB table's spatial queries into
+        partition-sized scans.
         """
         # -- data write: once, immutable, collision-free ------------------
+        if cluster_by is not None:
+            from pyspark.sql import functions as F
+
+            df = df.repartitionByRange(
+                max(1, n_files), F.col(cluster_by)
+            ).sortWithinPartitions(cluster_by)
         provisional = (self.current_snapshot() or 0) + 1
         rel_dir = os.path.join(
             "data", f"snap-{provisional}-{uuid.uuid4().hex[:8]}")

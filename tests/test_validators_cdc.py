@@ -584,3 +584,40 @@ def test_catalog_maintenance_loop_bounded(spark, tmp_path):
     kept = sorted(
         int(fn[len("manifest-"):-len(".json")]) for fn in os.listdir(mdir))
     assert t.read(spark, kept[0]).count() > 0
+
+
+def test_catalog_zorder_clustered_spatial_pruning(spark, tmp_path):
+    """cluster_by + stats pruning compose into the spatial-layout
+    story: cell ids are a Z-order curve, so a cell-clustered snapshot
+    gives each file a compact cell range, and a coarse-tile fetch
+    (one contiguous cell range) prunes to a couple of files out of
+    16 while returning exactly full-scan + filter."""
+    from osmnightwatch_spark.functions import cells as C
+    from osmnightwatch_spark.sources.catalog import Table
+
+    pts = spark.range(20_000).selectExpr(
+        "id",
+        "-180.0 + CAST(id * 2654435761 % 4294967296 AS DOUBLE)"
+        " / 4294967296 * 360.0 AS lon",
+        "-85.0 + CAST(id * 2246822519 % 4294967296 AS DOUBLE)"
+        " / 4294967296 * 170.0 AS lat",
+    )
+    with_cell = C.attach_cell(pts, 10, out="cell")
+    t = Table(str(tmp_path / "tbl"))
+    t.commit(with_cell, cluster_by="cell", n_files=16)
+    m = t.manifest()
+    assert m["metrics"]["n_files"] == 16
+    assert all("cell" in f["stats"] for f in m["files"])
+
+    # one res-3 ancestor tile = a contiguous res-10 cell range
+    # ((10-3)*2 = 14 low bits sweep its full descendant block)
+    some_cell = with_cell.select("cell").head()[0]
+    lo = (some_cell >> 14) << 14
+    hi = lo + (1 << 14) - 1
+    pruned = t.read(spark, where={"cell": (lo, hi)})
+    full = t.read(spark).where(f"cell BETWEEN {lo} AND {hi}")
+    assert sorted(r.id for r in pruned.collect()) == \
+        sorted(r.id for r in full.collect())
+    assert full.count() > 0
+    # a 1/64-of-space tile over 16 Z-clustered files → 1-2 files, not 16
+    assert len(pruned.inputFiles()) <= 3
