@@ -85,25 +85,20 @@ class Table:
         else:
             df = spark.read.parquet(
                 *[os.path.join(self.root, f["path"]) for f in files])
-        if where:
-            from pyspark.sql import functions as F
-
-            for col, (lo, hi) in where.items():
-                if lo is not None:
-                    df = df.where(F.col(col) >= F.lit(lo))
-                if hi is not None:
-                    df = df.where(F.col(col) <= F.lit(hi))
-        return df
+        return _apply_range_filters(df, where)
 
     def read_changes(self, spark: SparkSession, from_snapshot: int,
-                     to_snapshot: int | None = None) -> DataFrame:
+                     to_snapshot: int | None = None,
+                     where: dict | None = None) -> DataFrame:
         """Incremental (changelog) read: rows in data files that are
         part of ``to_snapshot`` but not of ``from_snapshot`` — the
         Iceberg incremental-scan analog, and the snapshot-range read
         the replication catch-up ladder rides (a consumer far behind
         reads the net-new files of a whole range in one scan instead
         of replaying per-snapshot). ``from_snapshot=0`` means
-        everything up to ``to_snapshot``."""
+        everything up to ``to_snapshot``. ``where`` applies the same
+        manifest min/max file skipping + exact residual filter as
+        :meth:`read` to the net-new files."""
         to_m = self.manifest(to_snapshot)
         if to_m is None:
             raise FileNotFoundError(f"no snapshot in {self.root}")
@@ -112,11 +107,14 @@ class Table:
             from_m = self.manifest(from_snapshot)
             if from_m is not None:
                 old_files = {f["path"] for f in from_m["files"]}
-        new = [f["path"] for f in to_m["files"] if f["path"] not in old_files]
+        new = [f for f in to_m["files"] if f["path"] not in old_files]
+        if where:
+            new = [f for f in new if _file_may_match(f, where)]
         if not new:
             return self.read(spark, to_snapshot).limit(0)
-        return spark.read.parquet(
-            *[os.path.join(self.root, p) for p in new])
+        df = spark.read.parquet(
+            *[os.path.join(self.root, f["path"]) for f in new])
+        return _apply_range_filters(df, where)
 
     # -- write side ---------------------------------------------------------
 
@@ -227,7 +225,15 @@ class Table:
                         pass
                 files = []
                 if append and cur is not None:
-                    prev = self.manifest(cur)
+                    try:
+                        prev = self.manifest(cur)
+                    except FileNotFoundError:
+                        # concurrent expire_snapshots raced us between
+                        # the pointer read and the manifest read (the
+                        # CURRENT snapshot itself is never expired, so
+                        # the pointer must have moved) — re-read it
+                        time.sleep(0.02)
+                        continue
                     if prev is not None:
                         files.extend(prev["files"])
                 files = files + new_files
@@ -437,6 +443,20 @@ def _parquet_stats(path: str, cols: list[str] | None = None) -> dict:
             except TypeError:  # mixed types across row groups
                 dead.add(name)
     return {n: [mins[n], maxs[n]] for n in mins if n not in dead}
+
+
+def _apply_range_filters(df: DataFrame, where: dict | None) -> DataFrame:
+    """Exact residual predicate matching the manifest pruning ranges."""
+    if not where:
+        return df
+    from pyspark.sql import functions as F
+
+    for col, (lo, hi) in where.items():
+        if lo is not None:
+            df = df.where(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.where(F.col(col) <= F.lit(hi))
+    return df
 
 
 def _file_may_match(f: dict, where: dict) -> bool:
