@@ -37,6 +37,12 @@ from pyspark.sql import DataFrame, SparkSession
 CURRENT = "CURRENT"
 
 
+class CommitConflict(Exception):
+    """A replace-style commit found the table advanced past its base
+    snapshot (Iceberg's validation failure): the caller must re-read
+    the new current state and redo its rewrite."""
+
+
 class Table:
     def __init__(self, root: str):
         self.root = root
@@ -121,6 +127,7 @@ class Table:
     def commit(self, df: DataFrame, lineage: dict | None = None,
                append: bool = False, stats_cols: list[str] | None = None,
                cluster_by: str | None = None, n_files: int = 32,
+               replace_base: int | None = None,
                claim_grace_s: float = 60.0) -> int:
         """Write df as a new snapshot; atomic pointer swap; returns id.
 
@@ -168,6 +175,13 @@ class Table:
         data read) for :meth:`read` file skipping; ``None`` records
         stats for every primitive column.
 
+        ``replace_base`` marks a replace-style commit (compaction,
+        rewrite): the df was computed FROM that snapshot, so the
+        commit raises :class:`CommitConflict` if the table has
+        advanced past it — without this, a rewrite racing an append
+        would publish a manifest missing the append's files (caught
+        by ``test_catalog_concurrent_commit_with_maintenance``).
+
         ``cluster_by`` range-clusters the snapshot into ``n_files``
         files sorted on that column before writing (Iceberg's
         sort-order write). With the engine's interleaved cell ids —
@@ -214,6 +228,15 @@ class Table:
                     f"(another writer holds the next id and the pointer "
                     f"never advanced)")
             cur = self.current_snapshot()
+            if replace_base is not None and (cur or 0) != replace_base:
+                # replace-style commit (compact/rewrite): its df was
+                # computed FROM replace_base, so publishing over a
+                # newer snapshot would silently drop that snapshot's
+                # changes — the caller must redo the rewrite (Iceberg's
+                # commit validation)
+                raise CommitConflict(
+                    f"table advanced to snapshot {cur} past replace "
+                    f"base {replace_base}")
             snap = (cur or 0) + 1
             mpath = os.path.join(mdir, f"manifest-{snap}.json")
             if built_for != snap:
@@ -321,17 +344,29 @@ class Table:
         count, so periodic compaction is what keeps an
         ever-appending table scannable. No-op (returns None) when the
         snapshot already has < ``min_files`` files.
+
+        A rewrite racing a concurrent append is detected by
+        ``replace_base`` commit validation and redone from the new
+        head (up to ``max_retries``) — the winning snapshot always
+        contains every committed row.
         """
-        m = self.manifest()
-        if m is None or len(m["files"]) < min_files:
-            return None
-        n_out = max(1, -(-m["metrics"]["total_bytes"] // target_file_bytes))
-        df = self.read(spark).coalesce(int(n_out))
-        return self.commit(df, lineage={
-            "op": "compact",
-            "source_snapshot": m["snapshot"],
-            "files_before": len(m["files"]),
-        })
+        max_retries = 5
+        for _ in range(max_retries):
+            m = self.manifest()
+            if m is None or len(m["files"]) < min_files:
+                return None
+            n_out = max(1, -(-m["metrics"]["total_bytes"] // target_file_bytes))
+            df = self.read(spark).coalesce(int(n_out))
+            try:
+                return self.commit(df, replace_base=m["snapshot"], lineage={
+                    "op": "compact",
+                    "source_snapshot": m["snapshot"],
+                    "files_before": len(m["files"]),
+                })
+            except CommitConflict:
+                continue  # an append won the race: recompact the new head
+        raise CommitConflict(
+            f"compact lost the commit race {max_retries} times in a row")
 
 
     def expire_snapshots(self, keep_n: int | None = None,

@@ -621,3 +621,56 @@ def test_catalog_zorder_clustered_spatial_pruning(spark, tmp_path):
     assert full.count() > 0
     # a 1/64-of-space tile over 16 Z-clustered files → 1-2 files, not 16
     assert len(pruned.inputFiles()) <= 3
+
+
+def test_catalog_concurrent_commit_with_maintenance(spark, tmp_path):
+    """Append writers racing a maintenance thread (compact + expire):
+    every appended row must survive into the final head regardless of
+    interleaving — the full optimistic protocol (rebase, steal-guard,
+    expire-race retry) under real contention."""
+    import threading
+
+    from osmnightwatch_spark.sources.catalog import Table
+
+    root = str(tmp_path / "tbl")
+    Table(root).commit(spark.range(0, 10).withColumnRenamed("id", "v"))
+
+    errors = []
+    n_writers, rows_per = 4, 10
+
+    def writer(i: int) -> None:
+        try:
+            t = Table(root)
+            for b in range(3):
+                lo = 1000 * i + 100 * b
+                t.commit(spark.range(lo, lo + rows_per)
+                         .withColumnRenamed("id", "v"), append=True)
+        except Exception as e:  # pragma: no cover - surfaced via assert
+            errors.append(("writer", i, e))
+
+    def maintainer() -> None:
+        try:
+            t = Table(root)
+            for _ in range(4):
+                t.compact(spark, target_file_bytes=10**9)
+                t.expire_snapshots(keep_n=4)
+        except Exception as e:  # pragma: no cover - surfaced via assert
+            errors.append(("maint", 0, e))
+
+    threads = [threading.Thread(target=writer, args=(i,))
+               for i in range(1, n_writers + 1)]
+    threads.append(threading.Thread(target=maintainer))
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+
+    assert not errors, errors
+    t = Table(root)
+    got = sorted(r.v for r in t.read(spark).collect())
+    want = sorted(
+        list(range(10))
+        + [1000 * i + 100 * b + j for i in range(1, n_writers + 1)
+           for b in range(3) for j in range(rows_per)]
+    )
+    assert got == want  # no row lost to any interleaving
