@@ -369,6 +369,55 @@ class Table:
             f"compact lost the commit race {max_retries} times in a row")
 
 
+    def remove_orphan_files(self, older_than_s: float = 3600.0) -> dict:
+        """Iceberg ``remove_orphan_files`` analog: delete data files no
+        manifest references. Orphans are produced by failed or
+        conflicted commits (a replace losing its ``CommitConflict``
+        race, a writer dying after the data write but before the
+        claim) — the data write is deliberately outside the commit
+        critical section, so its files become garbage, not corruption.
+        ``older_than_s`` (default 1 h) keeps files an IN-FLIGHT commit
+        has written but not yet manifested: a live writer claims its
+        id within seconds of finishing the write, so an hour-old
+        unreferenced file belongs to a dead one. Returns
+        ``{"files_removed": n, "bytes_removed": b}``.
+
+        Why it matters at 100 TB: every lost commit race strands a
+        full snapshot-sized write; without this op the stranded bytes
+        accumulate invisibly (they are in no manifest, so expiry
+        never sees them).
+        """
+        import shutil
+
+        mdir = os.path.join(self.root, "manifests")
+        referenced: set[str] = set()
+        for fn in os.listdir(mdir):
+            if fn.startswith("manifest-") and fn.endswith(".json"):
+                with open(os.path.join(mdir, fn)) as fh:
+                    referenced.update(f["path"] for f in json.load(fh)["files"])
+        now = time.time()
+        removed, bytes_removed = 0, 0
+        ddir = os.path.join(self.root, "data")
+        for d in sorted(os.listdir(ddir)):
+            full_dir = os.path.join(ddir, d)
+            if not os.path.isdir(full_dir):
+                continue
+            members = [
+                os.path.join("data", d, fn) for fn in os.listdir(full_dir)
+                if fn.endswith(".parquet")
+            ]
+            if not members or any(m in referenced for m in members):
+                continue
+            ages = [now - os.path.getmtime(os.path.join(self.root, m))
+                    for m in members]
+            if min(ages) <= older_than_s:
+                continue  # possibly an in-flight commit's fresh write
+            bytes_removed += sum(
+                os.path.getsize(os.path.join(self.root, m)) for m in members)
+            removed += len(members)
+            shutil.rmtree(full_dir, ignore_errors=True)
+        return {"files_removed": removed, "bytes_removed": bytes_removed}
+
     def expire_snapshots(self, keep_n: int | None = None,
                          older_than_unix: int | None = None) -> dict:
         """Iceberg ``expire_snapshots`` analog: drop old snapshots'

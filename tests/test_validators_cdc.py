@@ -674,3 +674,38 @@ def test_catalog_concurrent_commit_with_maintenance(spark, tmp_path):
            for b in range(3) for j in range(rows_per)]
     )
     assert got == want  # no row lost to any interleaving
+
+
+def test_catalog_remove_orphan_files(spark, tmp_path):
+    """remove_orphan_files deletes data no manifest references (a lost
+    replace race's stranded write), honors the in-flight grace window,
+    and never touches referenced files."""
+    import os
+    import time as _time
+
+    from osmnightwatch_spark.sources.catalog import Table
+
+    t = Table(str(tmp_path / "tbl"))
+    t.commit(spark.range(0, 100).withColumnRenamed("id", "v"))
+
+    # strand a write: data dir with parquet files but no manifest entry
+    orphan_dir = os.path.join(t.root, "data", "snap-9-deadbeef")
+    spark.range(0, 10).withColumnRenamed("id", "v").coalesce(1) \
+        .write.parquet(orphan_dir)
+    orphan_files = [f for f in os.listdir(orphan_dir) if f.endswith(".parquet")]
+    assert orphan_files
+
+    # fresh orphan is protected by the in-flight grace window
+    stats = t.remove_orphan_files(older_than_s=3600)
+    assert stats["files_removed"] == 0
+    assert os.path.isdir(orphan_dir)
+
+    # age it past the grace → removed; referenced data intact
+    old = _time.time() - 7200
+    for fn in os.listdir(orphan_dir):
+        os.utime(os.path.join(orphan_dir, fn), (old, old))
+    stats = t.remove_orphan_files(older_than_s=3600)
+    assert stats["files_removed"] == len(orphan_files)
+    assert stats["bytes_removed"] > 0
+    assert not os.path.exists(orphan_dir)
+    assert t.read(spark).count() == 100
