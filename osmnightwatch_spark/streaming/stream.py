@@ -58,11 +58,20 @@ def windowed_tile_counts(events: DataFrame, res: int = 4,
 
 def stream_to_snapshot_table(agg: DataFrame, table_root: str,
                              checkpoint_dir: str,
-                             keys: tuple[str, ...] = ("win_start", "tile")):
+                             keys: tuple[str, ...] = ("win_start", "tile"),
+                             cluster_by: str | None = None,
+                             n_files: int = 32):
     """foreachBatch → keyed MERGE into a catalog Table per micro-batch
     (the exactly-once publish-then-commit of Program.cs:97-116: the
     stream checkpoint records the batch only after the commit
-    succeeds). Update-mode re-emissions of a window upsert by key."""
+    succeeds). Update-mode re-emissions of a window upsert by key.
+
+    ``cluster_by`` (e.g. the tile column) keeps every committed
+    snapshot Z-order clustered so manifest pruning stays effective as
+    the stream runs — the steady-state form of the sort-order write;
+    costs one range shuffle per micro-batch, so leave it off for
+    high-frequency tiny batches and let periodic ``compact`` restore
+    layout instead."""
     table = Table(table_root)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -77,7 +86,8 @@ def stream_to_snapshot_table(agg: DataFrame, table_root: str,
             merged = survivors.unionByName(batch_df)
         except FileNotFoundError:
             merged = batch_df
-        table.commit(merged, lineage={"stage": "stream", "batch_id": batch_id})
+        table.commit(merged, lineage={"stage": "stream", "batch_id": batch_id},
+                     cluster_by=cluster_by, n_files=n_files)
 
     return (
         agg.writeStream.outputMode("update")
