@@ -193,17 +193,27 @@ class Table:
         partition-sized scans.
         """
         # -- data write: once, immutable, collision-free ------------------
+        persisted = None
         if cluster_by is not None:
             from pyspark.sql import functions as F
 
-            df = df.repartitionByRange(
+            # repartitionByRange runs a boundary-sampling job over its
+            # child before the shuffle — persist the input so the (in
+            # the streaming sink, full-merge-sized) plan is computed
+            # once, not twice
+            persisted = df.persist()
+            df = persisted.repartitionByRange(
                 max(1, n_files), F.col(cluster_by)
             ).sortWithinPartitions(cluster_by)
         provisional = (self.current_snapshot() or 0) + 1
         rel_dir = os.path.join(
             "data", f"snap-{provisional}-{uuid.uuid4().hex[:8]}")
         out_dir = os.path.join(self.root, rel_dir)
-        df.write.mode("errorifexists").parquet(out_dir)
+        try:
+            df.write.mode("errorifexists").parquet(out_dir)
+        finally:
+            if persisted is not None:
+                persisted.unpersist()
         new_files = []
         for fn in sorted(os.listdir(out_dir)):
             if not fn.endswith(".parquet"):
@@ -234,6 +244,12 @@ class Table:
                 # newer snapshot would silently drop that snapshot's
                 # changes — the caller must redo the rewrite (Iceberg's
                 # commit validation)
+                if built_for is not None:  # drop this loop's stale tmp
+                    try:
+                        os.remove(os.path.join(
+                            mdir, f"manifest-{built_for}.json.tmp-{writer[:8]}"))
+                    except FileNotFoundError:
+                        pass
                 raise CommitConflict(
                     f"table advanced to snapshot {cur} past replace "
                     f"base {replace_base}")
@@ -330,7 +346,8 @@ class Table:
 
     def compact(self, spark: SparkSession,
                 target_file_bytes: int = 128 * 1024 * 1024,
-                min_files: int = 2) -> int | None:
+                min_files: int = 2,
+                cluster_by: str | None = None) -> int | None:
         """Iceberg ``rewrite_data_files`` analog: coalesce the current
         snapshot's many small files into ~``target_file_bytes`` files
         and commit the rewrite as a NEW snapshot (same rows, fewer
@@ -347,8 +364,15 @@ class Table:
 
         A rewrite racing a concurrent append is detected by
         ``replace_base`` commit validation and redone from the new
-        head (up to ``max_retries``) — the winning snapshot always
-        contains every committed row.
+        head; after ``max_retries`` straight lost races it gives up
+        QUIETLY (returns None) — sustained append contention is a
+        normal condition for a maintenance pass, not an error, and
+        the next scheduled pass will compact the then-current head.
+
+        ``cluster_by`` restores Z-order layout in the same rewrite
+        (range-cluster + sort instead of plain coalesce) — the
+        documented companion to a stream that commits unclustered
+        micro-batches.
         """
         max_retries = 5
         for _ in range(max_retries):
@@ -356,17 +380,20 @@ class Table:
             if m is None or len(m["files"]) < min_files:
                 return None
             n_out = max(1, -(-m["metrics"]["total_bytes"] // target_file_bytes))
-            df = self.read(spark).coalesce(int(n_out))
+            df = self.read(spark)
+            if cluster_by is None:
+                df = df.coalesce(int(n_out))
             try:
-                return self.commit(df, replace_base=m["snapshot"], lineage={
+                return self.commit(df, replace_base=m["snapshot"],
+                                   cluster_by=cluster_by,
+                                   n_files=int(n_out), lineage={
                     "op": "compact",
                     "source_snapshot": m["snapshot"],
                     "files_before": len(m["files"]),
                 })
             except CommitConflict:
                 continue  # an append won the race: recompact the new head
-        raise CommitConflict(
-            f"compact lost the commit race {max_retries} times in a row")
+        return None  # contended the whole window — next pass will get it
 
 
     def remove_orphan_files(self, older_than_s: float = 3600.0) -> dict:
@@ -389,12 +416,13 @@ class Table:
         """
         import shutil
 
-        mdir = os.path.join(self.root, "manifests")
         referenced: set[str] = set()
-        for fn in os.listdir(mdir):
-            if fn.startswith("manifest-") and fn.endswith(".json"):
-                with open(os.path.join(mdir, fn)) as fh:
-                    referenced.update(f["path"] for f in json.load(fh)["files"])
+        for s in self._snapshot_ids():
+            try:
+                m = self.manifest(s)
+            except FileNotFoundError:
+                continue  # concurrent expire removed it mid-walk
+            referenced.update(f["path"] for f in m["files"])
         now = time.time()
         removed, bytes_removed = 0, 0
         ddir = os.path.join(self.root, "data")
@@ -402,21 +430,36 @@ class Table:
             full_dir = os.path.join(ddir, d)
             if not os.path.isdir(full_dir):
                 continue
-            members = [
-                os.path.join("data", d, fn) for fn in os.listdir(full_dir)
-                if fn.endswith(".parquet")
-            ]
-            if not members or any(m in referenced for m in members):
-                continue
-            ages = [now - os.path.getmtime(os.path.join(self.root, m))
-                    for m in members]
-            if min(ages) <= older_than_s:
-                continue  # possibly an in-flight commit's fresh write
-            bytes_removed += sum(
-                os.path.getsize(os.path.join(self.root, m)) for m in members)
+            try:
+                members = [
+                    os.path.join("data", d, fn) for fn in os.listdir(full_dir)
+                    if fn.endswith(".parquet")
+                ]
+                if not members or any(m in referenced for m in members):
+                    continue
+                ages = [now - os.path.getmtime(os.path.join(self.root, m))
+                        for m in members]
+                if min(ages) <= older_than_s:
+                    continue  # possibly an in-flight commit's fresh write
+                size = sum(
+                    os.path.getsize(os.path.join(self.root, m))
+                    for m in members)
+            except FileNotFoundError:
+                continue  # a racing cleaner got here first
+            bytes_removed += size
             removed += len(members)
             shutil.rmtree(full_dir, ignore_errors=True)
         return {"files_removed": removed, "bytes_removed": bytes_removed}
+
+    def _snapshot_ids(self) -> list[int]:
+        """Sorted snapshot ids present in manifests/ (shared by the
+        maintenance ops so the manifest naming scheme lives once)."""
+        mdir = os.path.join(self.root, "manifests")
+        return sorted(
+            int(fn[len("manifest-"):-len(".json")])
+            for fn in os.listdir(mdir)
+            if fn.startswith("manifest-") and fn.endswith(".json")
+        )
 
     def expire_snapshots(self, keep_n: int | None = None,
                          older_than_unix: int | None = None) -> dict:
@@ -445,11 +488,7 @@ class Table:
             raise ValueError("pass keep_n and/or older_than_unix")
         cur = self.current_snapshot()
         mdir = os.path.join(self.root, "manifests")
-        snaps = sorted(
-            int(fn[len("manifest-"):-len(".json")])
-            for fn in os.listdir(mdir)
-            if fn.startswith("manifest-") and fn.endswith(".json")
-        )
+        snaps = self._snapshot_ids()
         keep = {cur} if cur is not None else set()
         if keep_n is not None:
             keep.update(snaps[-max(0, keep_n):] if keep_n > 0 else [])

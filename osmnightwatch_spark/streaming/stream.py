@@ -70,22 +70,40 @@ def stream_to_snapshot_table(agg: DataFrame, table_root: str,
     snapshot Z-order clustered so manifest pruning stays effective as
     the stream runs — the steady-state form of the sort-order write;
     costs one range shuffle per micro-batch, so leave it off for
-    high-frequency tiny batches and let periodic ``compact`` restore
-    layout instead."""
+    high-frequency tiny batches and let a periodic
+    ``compact(cluster_by=...)`` restore layout instead (plain
+    ``compact`` only coalesces — it cannot re-sort)."""
     table = Table(table_root)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        try:
-            current = table.read(spark)
+        # distinguish "table empty" from "concurrent expire removed
+        # the manifest between the pointer read and the open" — the
+        # latter must retry, never fall through to merged=batch_df
+        # (which would publish a snapshot containing ONLY this batch,
+        # silently truncating the table)
+        import time as _time
+
+        for _ in range(50):
+            if table.current_snapshot() is None:
+                merged = batch_df
+                break
+            try:
+                current = table.read(spark)
+            except FileNotFoundError:
+                _time.sleep(0.02)  # expire raced the read; re-resolve
+                continue
             survivors = current.join(
                 batch_df.select(*keys).distinct(), list(keys), "left_anti"
             )
             merged = survivors.unionByName(batch_df)
-        except FileNotFoundError:
-            merged = batch_df
+            break
+        else:
+            raise RuntimeError(
+                f"stream sink could not resolve a readable snapshot in "
+                f"{table_root} (concurrent expiry churn)")
         table.commit(merged, lineage={"stage": "stream", "batch_id": batch_id},
                      cluster_by=cluster_by, n_files=n_files)
 

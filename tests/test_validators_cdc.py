@@ -709,3 +709,42 @@ def test_catalog_remove_orphan_files(spark, tmp_path):
     assert stats["bytes_removed"] > 0
     assert not os.path.exists(orphan_dir)
     assert t.read(spark).count() == 100
+
+
+def test_catalog_compact_restores_zorder(spark, tmp_path):
+    """An unclustered (append-churned) snapshot prunes poorly; a
+    compact(cluster_by=...) rewrite restores the Z-order layout so the
+    same coarse-tile fetch touches few files again — the maintenance
+    path the streaming sink's docstring prescribes."""
+    from osmnightwatch_spark.functions import cells as C
+    from osmnightwatch_spark.sources.catalog import Table
+
+    pts = spark.range(20_000).selectExpr(
+        "id",
+        "-180.0 + CAST(id * 2654435761 % 4294967296 AS DOUBLE)"
+        " / 4294967296 * 360.0 AS lon",
+        "-85.0 + CAST(id * 2246822519 % 4294967296 AS DOUBLE)"
+        " / 4294967296 * 170.0 AS lat",
+    )
+    with_cell = C.attach_cell(pts, 10, out="cell")
+    t = Table(str(tmp_path / "tbl"))
+    # unclustered: id-ordered partitions ≈ random cell order per file
+    t.commit(with_cell.repartition(16))
+    some_cell = with_cell.select("cell").head()[0]
+    lo = (some_cell >> 14) << 14
+    hi = lo + (1 << 14) - 1
+    before = t.read(spark, where={"cell": (lo, hi)})
+    n_before = len(before.inputFiles())
+    assert n_before >= 12  # every file spans the space: pruning useless
+
+    m1 = t.manifest()
+    per_file = max(1, m1["metrics"]["total_bytes"] // 16)
+    snap = t.compact(spark, target_file_bytes=per_file,
+                     cluster_by="cell")
+    assert snap is not None
+    m2 = t.manifest()
+    assert m2["metrics"]["total_rows"] == 20_000
+    after = t.read(spark, where={"cell": (lo, hi)})
+    assert sorted(r.id for r in after.collect()) == \
+        sorted(r.id for r in before.collect())
+    assert len(after.inputFiles()) <= 3  # layout restored
