@@ -188,3 +188,51 @@ def test_incremental_prev_rollup_artifact_path(spark):
     d = derived.sort_values(key).reset_index(drop=True)
     a = artifact.sort_values(key).reset_index(drop=True)
     assert d.equals(a)
+
+
+def test_incremental_prev_rollup_chains_across_batches(spark):
+    """The steady-state loop ACROSS batches: each micro-batch feeds its
+    own output back as the next batch's prev_rollup (the published
+    artifact), and after three chained batches the result equals one
+    full recompute over the final merged snapshot — the composition
+    Program.cs:75-117 runs forever."""
+    from osmnightwatch_spark.plans import queries as Q
+    from osmnightwatch_spark.plans.incremental import incremental_tile_rollup
+    from osmnightwatch_spark.plans.pipeline import flagship_points
+    from osmnightwatch_spark.streaming import cdc
+    from pyspark.sql import functions as F
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id")
+    cid = F.col("event_id")
+    lon, lat = Q._geo_lonlat(cid)
+    base = ev.where(cid % 10 != 0).select(
+        cid.alias("id"), ((cid * Q._PHASH_TWIN_MULT) % 1024).alias("phash"),
+        lon.alias("lon"), lat.alias("lat"),
+    )
+    prep = Q._prep_rect()
+
+    def batch(src_mod: int, shift: int):
+        src = ev.where(cid % 10 == src_mod)
+        return src.select(
+            F.lit("M").alias("op"), F.lit("image").alias("entity_type"),
+            (cid + shift).alias("id"), cid.cast("int").alias("version"),
+            Q._pt_payload(cid + shift, cid + shift + Q._GEO_SHIFT
+                          ).alias("payload"),
+        )
+
+    snapshot = base
+    rollup = flagship_points(base, tile_res=8, prepared=prep)
+    for b, (mod, shift) in enumerate([(0, 1), (3, 2), (6, 3)]):
+        changes = batch(mod, shift)
+        rollup = incremental_tile_rollup(
+            snapshot, changes, tile_res=8, prepared=prep,
+            prev_rollup=rollup).localCheckpoint(eager=True)
+        snapshot = cdc.apply_changeset(
+            snapshot, cdc.compact_changeset(changes))
+
+    full = flagship_points(snapshot, tile_res=8, prepared=prep).toPandas()
+    inc = rollup.toPandas()[full.columns.tolist()]
+    key = ["polygon_id", "tile"]
+    assert inc.sort_values(key).reset_index(drop=True).equals(
+        full.sort_values(key).reset_index(drop=True))
