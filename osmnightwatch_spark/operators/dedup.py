@@ -533,3 +533,106 @@ bad AS (
 SELECT {select} FROM {train_table}
 WHERE {id_col} NOT IN (SELECT {id_col} FROM bad)
 """.strip()
+
+
+def substring_dup_spans(df: DataFrame, id_col: str = "doc_id",
+                        text: str = "text", n: int = 8) -> DataFrame:
+    """Exact duplicated-substring spans — the ExactSubstr variant of
+    corpus dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"), recast as a distributed plan instead of
+    a single-machine suffix array.
+
+    Definition: a token ``n``-gram that occurs >= 2 times corpus-wide
+    (across documents or repeated within one) marks every position it
+    starts at; marked positions whose ``n``-token windows touch or
+    overlap merge into maximal duplicated spans. Output is one row per
+    document that carries at least one span: ``(id, n_spans,
+    dup_tokens, total_tokens, dup_pct)`` — the per-doc "how much of
+    this text exists elsewhere" signal a cut/keep policy consumes.
+
+    Plan shape (all native, no Python): tokenize per row, md5 each
+    ``n``-gram (16-byte key — the raw text never shuffles), ONE
+    count aggregation over grams (partial agg absorbs boilerplate-hot
+    grams map-side), ONE semi-join marking positions (each position
+    matches at most once, so output is bounded by corpus token count
+    regardless of gram frequency), then a per-document window merges
+    starts into islands (start gap <= n ⇒ same span — this is interval
+    union, so overlapping windows are never double-counted). At 10^12
+    docs the gram explode is the same order as any tokenize pass and
+    the two shuffles move only (md5, pos) pairs.
+
+    Reference analog: OsmNightWatch keeps issue lists exactly-deduped
+    by content identity (IssuesData compare, Program.cs:129-151); this
+    is that identity test at token-span granularity over a corpus.
+    """
+    t = df.select(F.col(id_col), F.split(F.col(text), " ").alias("_t"))
+    g = (
+        t.select(
+            F.col(id_col),
+            F.posexplode(
+                F.expr(
+                    f"CASE WHEN size(_t) >= {n} THEN "
+                    f"transform(sequence(1, size(_t) - {n - 1}), "
+                    f"i -> md5(concat_ws(' ', slice(_t, i, {n})))) "
+                    f"ELSE array() END"
+                )
+            ).alias("_i", "gram"),
+        )
+        .select(F.col(id_col), (F.col("_i") + 1).alias("pos"), "gram")
+    )
+    dup = (
+        g.groupBy("gram").agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") > 1).select("gram")
+    )
+    marked = g.join(dup, "gram", "left_semi").select(id_col, "pos")
+
+    from pyspark.sql import Window
+    w = Window.partitionBy(id_col).orderBy("pos")
+    fl = marked.withColumn(
+        "_f", F.when(F.col("pos") - F.lag("pos").over(w) > n, 1).otherwise(0)
+    )
+    gr = fl.withColumn("_g", F.sum("_f").over(w))
+    sp = gr.groupBy(id_col, "_g").agg(
+        F.min("pos").alias("_s"), (F.max("pos") + F.lit(n - 1)).alias("_e")
+    )
+    per_doc = sp.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("_e") - F.col("_s") + 1).cast("long").alias("dup_tokens"),
+    )
+    tot = t.select(F.col(id_col), F.size("_t").cast("long").alias("total_tokens"))
+    return per_doc.join(tot, id_col).select(
+        id_col, "n_spans", "dup_tokens", "total_tokens",
+        F.floor(F.lit(100) * F.col("dup_tokens") / F.col("total_tokens"))
+        .cast("long").alias("dup_pct"),
+    )
+
+
+def substring_dup_spans_sql(table: str, id_col: str = "doc_id",
+                            text: str = "text", n: int = 8) -> str:
+    """DuckDB twin of :func:`substring_dup_spans` — identical gram
+    strings (space-joined token slices), identical md5 keys, identical
+    island merge (start gap <= n), so the compare is exact."""
+    return f"""
+WITH _t AS (SELECT {id_col}, string_split({text}, ' ') AS t FROM {table}),
+g AS (
+  SELECT {id_col}, CAST(i AS INTEGER) AS pos,
+         md5(array_to_string(t[CAST(i AS INTEGER):CAST(i AS INTEGER) + {n - 1}], ' ')) AS gram
+  FROM _t, unnest(range(1, len(t) - {n} + 2)) AS u(i)
+  WHERE len(t) >= {n}),
+dup AS (SELECT gram FROM g GROUP BY 1 HAVING COUNT(*) > 1),
+m AS (SELECT {id_col}, pos FROM g WHERE gram IN (SELECT gram FROM dup)),
+fl AS (SELECT {id_col}, pos,
+       CASE WHEN pos - lag(pos) OVER (PARTITION BY {id_col} ORDER BY pos) > {n}
+            THEN 1 ELSE 0 END AS f FROM m),
+gr AS (SELECT {id_col}, pos,
+       SUM(f) OVER (PARTITION BY {id_col} ORDER BY pos) AS grp FROM fl),
+sp AS (SELECT {id_col}, grp, MIN(pos) AS s, MAX(pos) + {n - 1} AS e
+       FROM gr GROUP BY 1, 2),
+pd AS (SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS n_spans,
+              CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens FROM sp GROUP BY 1),
+tot AS (SELECT {id_col}, CAST(len(string_split({text}, ' ')) AS BIGINT) AS total_tokens
+        FROM {table})
+SELECT pd.{id_col}, n_spans, dup_tokens, total_tokens,
+       CAST(FLOOR(100 * dup_tokens / total_tokens) AS BIGINT) AS dup_pct
+FROM pd JOIN tot USING ({id_col})
+""".strip()

@@ -145,3 +145,53 @@ FROM (
       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
   FROM {table})
 """.strip()
+
+
+def source_quality_filter(df: DataFrame, min_mean_chars: float = 300.0,
+                          group: str = "source",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Source-level (domain-level) quality filtering: keep documents
+    whose SOURCE passes an aggregate quality bar — the FineWeb /
+    Common-Crawl-style "judge the domain, not just the page" stage of
+    a pretraining pipeline (spam domains fail in aggregate even when
+    individual pages look fine).
+
+    The bar here is mean document length per source computed as
+    exact-integer SUM/COUNT (bit-identical across engines — no
+    float-accumulation order dependence), kept when
+    ``mean >= min_mean_chars``. Returns kept docs with the source
+    stats attached: (id, group, src_docs, src_mean_chars).
+
+    Scale shape: one groupBy over the group key (partial agg —
+    per-source counters combine map-side), then a join back. The
+    stats side is |domains|-sized; web corpora have ~10^8 domains vs
+    10^12 docs, so it is broadcast here (dim-like at test scale,
+    and 10^8 × ~32B still fits a 4GB broadcast at the real scale);
+    drop the hint to let AQE choose if the group key is finer.
+    """
+    stats = df.groupBy(group).agg(
+        F.count(F.lit(1)).cast("long").alias("src_docs"),
+        (F.sum("n_chars") / F.count(F.lit(1))).alias("_mean"),
+    )
+    kept = stats.where(F.col("_mean") >= min_mean_chars)
+    return df.join(F.broadcast(kept), group).select(
+        F.col(id_col), F.col(group), F.col("src_docs"),
+        F.floor(F.col("_mean")).cast("long").alias("src_mean_chars"),
+    )
+
+
+def source_quality_filter_sql(table: str, min_mean_chars: float = 300.0,
+                              group: str = "source",
+                              id_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`source_quality_filter` (same exact-integer
+    SUM/COUNT mean, same threshold)."""
+    return f"""
+WITH s AS (
+  SELECT {group}, CAST(COUNT(*) AS BIGINT) AS src_docs,
+         CAST(SUM(n_chars) AS BIGINT) * 1.0 / COUNT(*) AS m
+  FROM {table} GROUP BY 1)
+SELECT d.{id_col}, d.{group}, s.src_docs,
+       CAST(FLOOR(s.m) AS BIGINT) AS src_mean_chars
+FROM {table} d JOIN s USING ({group})
+WHERE s.m >= {min_mean_chars!r}
+""".strip()

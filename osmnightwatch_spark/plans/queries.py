@@ -683,6 +683,50 @@ def _sql_pii_scrub():
     )
 
 
+_BOILER = "the quick brown fox jumps over the lazy dog near the river"
+
+
+def q_dedup_substrings(spark, sf_dir):
+    """Exact duplicated-substring spans (Lee et al. 2022 ExactSubstr):
+    the synthetic corpus is random text, so a shared 12-token
+    boilerplate sentence is first appended to docs with
+    doc_id % 7 < 2 (identical expression in the SQL twin) — those
+    docs then carry a cross-corpus duplicated span; any coincidental
+    in-corpus 8-gram repeats are reported identically by both
+    engines."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    injected = d.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 < 2,
+               F.concat(F.col("text"), F.lit(" " + _BOILER)))
+        .otherwise(F.col("text")),
+    )
+    return D.substring_dup_spans(injected, "doc_id", "text", n=8)
+
+
+def _sql_dedup_substrings():
+    inject = (
+        "SELECT doc_id, CASE WHEN doc_id % 7 < 2 THEN text || ' " + _BOILER
+        + "' ELSE text END AS text FROM documents"
+    )
+    return D.substring_dup_spans_sql(f"({inject})", "doc_id", "text", n=8)
+
+
+def q_source_filter(spark, sf_dir):
+    """Domain-level quality gate: keep docs whose source's mean length
+    clears the bar (FineWeb-style judge-the-domain filtering)."""
+    from ..operators.sampling import source_quality_filter
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return source_quality_filter(d, min_mean_chars=300.0)
+
+
+def _sql_source_filter():
+    from ..operators.sampling import source_quality_filter_sql
+
+    return source_quality_filter_sql("documents", min_mean_chars=300.0)
+
+
 def q_jaccard_topk(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return D.jaccard_topk(d, "doc_id", k=20)
@@ -1423,6 +1467,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": q_fingerprint,
     "pii_scrub": q_pii_scrub,
     "jaccard_topk": q_jaccard_topk,
+    "dedup_substrings": q_dedup_substrings,
+    "source_filter": q_source_filter,
     "minhash_pairs": q_minhash_pairs,
     "dedup_clusters": q_dedup_clusters,
     "stratified_sample": q_stratified_sample,
@@ -1477,6 +1523,8 @@ ORACLES: dict[str, str] = {
     "fingerprint": SQL_fingerprint,
     "pii_scrub": _sql_pii_scrub(),
     "jaccard_topk": _sql_jaccard_topk(),
+    "dedup_substrings": _sql_dedup_substrings(),
+    "source_filter": _sql_source_filter(),
     "minhash_pairs": _sql_minhash_pairs(),
     "dedup_clusters": _sql_dedup_clusters(),
     "stratified_sample": _sql_stratified_sample(),

@@ -438,3 +438,82 @@ def test_pii_scrub(spark):
     assert (out.loc[2].n_email, out.loc[2].n_phone) == (0, 0)
     assert out.loc[3].n_email == 2 and out.loc[3].n_ipv4 == 1
     assert out.loc[3].lang == "fr"
+
+
+SPAN_DOCS = [
+    # cross-doc shared 6-token run ("a b c d e f") inside longer docs
+    (10, "a b c d e f g h i j"),
+    (11, "x1 x2 a b c d e f y1 y2"),
+    # within-doc repeat; marked starts {1,2,6,7}, gap 4 == n merges to ONE island
+    (12, "p q r s t p q r s t"),
+    # shorter than n — no grams at all
+    (13, "u v w"),
+    # long but globally unique — absent from output
+    (14, "m1 m2 m3 m4 m5 m6 m7 m8"),
+    # two disjoint islands in one doc + exact-gram doc
+    (15, "k1 k2 k3 k4 z1 z2 z3 z4 z5 k1 k2 k3 k4"),
+    (16, "k1 k2 k3 k4"),
+]
+
+
+def test_substring_dup_spans_hand_corpus(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(SPAN_DOCS, columns=["doc_id", "text"])
+    )
+    out = (
+        D.substring_dup_spans(df, "doc_id", "text", n=4)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    # docs 13 (too short) and 14 (unique) carry no spans
+    assert sorted(out.index) == [10, 11, 12, 15, 16]
+    assert tuple(out.loc[10]) == (1, 6, 10, 60)
+    assert tuple(out.loc[11]) == (1, 6, 10, 60)
+    # interval union: overlapping 4-token windows at starts 1,2,6,7
+    # cover the whole 10-token doc exactly once (no double count)
+    assert tuple(out.loc[12]) == (1, 10, 10, 100)
+    # start gap 9 > n=4 keeps two separate islands
+    assert tuple(out.loc[15]) == (2, 8, 13, 61)
+    assert tuple(out.loc[16]) == (1, 4, 4, 100)
+
+
+def test_substring_dup_spans_matches_duckdb_twin(spark):
+    import duckdb
+
+    df = spark.createDataFrame(
+        pd.DataFrame(SPAN_DOCS, columns=["doc_id", "text"])
+    )
+    got = (
+        D.substring_dup_spans(df, "doc_id", "text", n=4)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("spans_in", pd.DataFrame(SPAN_DOCS, columns=["doc_id", "text"]))
+    want = con.execute(
+        D.substring_dup_spans_sql("spans_in", "doc_id", "text", n=4)
+        + " ORDER BY doc_id"
+    ).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64"), check_names=False
+    )
+
+
+def test_source_quality_filter(spark):
+    from osmnightwatch_spark.operators.sampling import source_quality_filter
+
+    rows = [
+        (1, "good.com", 400), (2, "good.com", 200), (3, "good.com", 330),
+        (4, "spam.biz", 100), (5, "spam.biz", 120),
+        (6, "edge.org", 300),  # mean exactly at the bar — kept (>=)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "source", "n_chars"])
+    )
+    out = (
+        source_quality_filter(df, min_mean_chars=300.0)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(out.doc_id) == [1, 2, 3, 6]  # spam.biz mean 110 dropped
+    good = out[out.source == "good.com"].iloc[0]
+    assert good.src_docs == 3 and good.src_mean_chars == 310
+    edge = out[out.source == "edge.org"].iloc[0]
+    assert edge.src_docs == 1 and edge.src_mean_chars == 300
