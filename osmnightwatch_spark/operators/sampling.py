@@ -147,6 +147,68 @@ FROM (
 """.strip()
 
 
+def epoch_shard(df: DataFrame, epoch: int, n_shards: int = 64,
+                id_col: str = "doc_id") -> DataFrame:
+    """Deterministic per-epoch global shuffle + sharding: assign every
+    document a (shard, pos) for training epoch ``epoch`` — the
+    dataloader-facing step after dedup/filter/mixing that turns a
+    corpus into N reproducible, balanced shards whose within-shard
+    order is a pseudo-random permutation that CHANGES each epoch.
+
+    The permutation key is ``md5(epoch || ':' || id)`` — salting the
+    hash with the epoch gives every epoch an independent order and
+    shard assignment (cross-epoch decorrelation) while staying a pure
+    function of (epoch, id): re-running, resuming, or repartitioning
+    reproduces byte-identical shards, and any single shard can be
+    rebuilt alone (the property that makes a 10^12-doc shuffle
+    restartable — contrast rand()-based shuffles, which can neither
+    resume nor re-derive a lost shard).
+
+    Scale shape: ONE hash-shuffle into per-shard windows; rank state
+    is O(1) per row. Shards are md5-balanced (multinomial, so shard
+    sizes concentrate at n/N ± √(n/N)); pick ``n_shards`` ∝ corpus
+    size to bound per-shard rows. This is the plan shape a 100 TB
+    epoch shuffle wants: no global sort, no driver state, and the
+    output is range-readable per shard.
+
+    Reference analog: OsmNightWatch re-derives per-tile work queues
+    deterministically from ids each pass (Program.cs:75-117 loop)
+    rather than carrying mutable queue state — same resumability
+    argument applied to a training-epoch permutation.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h = F.md5(F.concat_ws(":", F.lit(int(epoch)).cast("string"),
+                          F.col(id_col).cast("string")))
+    shard = (F.conv(F.substring(h, 1, 6), 16, 10).cast("long")
+             % n_shards).cast("int")
+    w = Window.partitionBy("shard").orderBy("_h", id_col)
+    return (
+        df.select(F.col(id_col), h.alias("_h"), shard.alias("shard"))
+        .select(
+            id_col,
+            F.lit(int(epoch)).cast("int").alias("epoch"),
+            "shard",
+            F.row_number().over(w).cast("long").alias("pos"),
+        )
+    )
+
+
+def epoch_shard_sql(table: str, epoch: int, n_shards: int = 64,
+                    id_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`epoch_shard` (same epoch-salted md5 key,
+    same shard mod, same (hash, id) rank order)."""
+    h = f"md5({int(epoch)} || ':' || CAST({id_col} AS VARCHAR))"
+    shard = (f"CAST(CAST('0x' || substr({h}, 1, 6) AS BIGINT)"
+             f" % {n_shards} AS INTEGER)")
+    return f"""
+SELECT {id_col}, CAST({int(epoch)} AS INTEGER) AS epoch, {shard} AS shard,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY {shard} ORDER BY {h}, {id_col}) AS BIGINT) AS pos
+FROM {table}
+""".strip()
+
+
 def source_quality_filter(df: DataFrame, min_mean_chars: float = 300.0,
                           group: str = "source",
                           id_col: str = "doc_id") -> DataFrame:

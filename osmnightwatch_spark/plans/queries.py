@@ -712,6 +712,22 @@ def _sql_dedup_substrings():
     return D.substring_dup_spans_sql(f"({inject})", "doc_id", "text", n=8)
 
 
+def q_epoch_shard(spark, sf_dir):
+    """Per-epoch deterministic global shuffle into training shards:
+    every doc gets a (shard, pos) that is a pure function of
+    (epoch, doc_id) — resumable, rebuildable per shard."""
+    from ..operators.sampling import epoch_shard
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return epoch_shard(d, epoch=3, n_shards=8)
+
+
+def _sql_epoch_shard():
+    from ..operators.sampling import epoch_shard_sql
+
+    return epoch_shard_sql("documents", epoch=3, n_shards=8)
+
+
 def q_source_filter(spark, sf_dir):
     """Domain-level quality gate: keep docs whose source's mean length
     clears the bar (FineWeb-style judge-the-domain filtering)."""
@@ -1469,6 +1485,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jaccard_topk": q_jaccard_topk,
     "dedup_substrings": q_dedup_substrings,
     "source_filter": q_source_filter,
+    "epoch_shard": q_epoch_shard,
     "minhash_pairs": q_minhash_pairs,
     "dedup_clusters": q_dedup_clusters,
     "stratified_sample": q_stratified_sample,
@@ -1525,6 +1542,7 @@ ORACLES: dict[str, str] = {
     "jaccard_topk": _sql_jaccard_topk(),
     "dedup_substrings": _sql_dedup_substrings(),
     "source_filter": _sql_source_filter(),
+    "epoch_shard": _sql_epoch_shard(),
     "minhash_pairs": _sql_minhash_pairs(),
     "dedup_clusters": _sql_dedup_clusters(),
     "stratified_sample": _sql_stratified_sample(),

@@ -517,3 +517,46 @@ def test_source_quality_filter(spark):
     assert good.src_docs == 3 and good.src_mean_chars == 310
     edge = out[out.source == "edge.org"].iloc[0]
     assert edge.src_docs == 1 and edge.src_mean_chars == 300
+
+
+def test_epoch_shard_deterministic_balanced_decorrelated(spark):
+    from osmnightwatch_spark.operators.sampling import (epoch_shard,
+                                                        epoch_shard_sql)
+
+    ids = pd.DataFrame({"doc_id": range(400)})
+    df = spark.createDataFrame(ids)
+
+    e1 = epoch_shard(df, epoch=1, n_shards=8).toPandas()
+    # a permutation: every doc appears exactly once
+    assert sorted(e1.doc_id) == list(range(400))
+    # pos is a dense 1..size_of_shard rank within each shard
+    for _, g in e1.groupby("shard"):
+        assert sorted(g.pos) == list(range(1, len(g) + 1))
+    # md5-balanced shards: multinomial concentration, not exact equality
+    sizes = e1.groupby("shard").size()
+    assert len(sizes) == 8 and sizes.min() > 20
+    # deterministic: re-running (different partitioning) is identical
+    e1b = epoch_shard(df.repartition(7), epoch=1, n_shards=8).toPandas()
+    a = e1.sort_values("doc_id").reset_index(drop=True)
+    b = e1b.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # cross-epoch decorrelation: epoch 2 is a DIFFERENT permutation
+    e2 = epoch_shard(df, epoch=2, n_shards=8).toPandas()
+    m = a.merge(e2, on="doc_id", suffixes=("_1", "_2"))
+    assert (m.shard_1 != m.shard_2).mean() > 0.5
+    same_shard = m[m.shard_1 == m.shard_2]
+    assert (same_shard.pos_1 != same_shard.pos_2).mean() > 0.8
+
+    # exact SQL-twin match
+    import duckdb
+    con = duckdb.connect()
+    con.register("docs_in", ids)
+    want = con.execute(
+        epoch_shard_sql("docs_in", epoch=1, n_shards=8)
+        + " ORDER BY doc_id"
+    ).fetchdf()
+    got = a.astype({"doc_id": "int64", "epoch": "int32",
+                    "shard": "int32", "pos": "int64"})
+    pd.testing.assert_frame_equal(
+        got, want.astype(got.dtypes.to_dict()), check_names=False
+    )
