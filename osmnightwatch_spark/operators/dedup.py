@@ -535,36 +535,13 @@ WHERE {id_col} NOT IN (SELECT {id_col} FROM bad)
 """.strip()
 
 
-def substring_dup_spans(df: DataFrame, id_col: str = "doc_id",
-                        text: str = "text", n: int = 8) -> DataFrame:
-    """Exact duplicated-substring spans — the ExactSubstr variant of
-    corpus dedup (Lee et al. 2022, "Deduplicating Training Data Makes
-    Language Models Better"), recast as a distributed plan instead of
-    a single-machine suffix array.
-
-    Definition: a token ``n``-gram that occurs >= 2 times corpus-wide
-    (across documents or repeated within one) marks every position it
-    starts at; marked positions whose ``n``-token windows touch or
-    overlap merge into maximal duplicated spans. Output is one row per
-    document that carries at least one span: ``(id, n_spans,
-    dup_tokens, total_tokens, dup_pct)`` — the per-doc "how much of
-    this text exists elsewhere" signal a cut/keep policy consumes.
-
-    Plan shape (all native, no Python): tokenize per row, md5 each
-    ``n``-gram (16-byte key — the raw text never shuffles), ONE
-    count aggregation over grams (partial agg absorbs boilerplate-hot
-    grams map-side), ONE semi-join marking positions (each position
-    matches at most once, so output is bounded by corpus token count
-    regardless of gram frequency), then a per-document window merges
-    starts into islands (start gap <= n ⇒ same span — this is interval
-    union, so overlapping windows are never double-counted). At 10^12
-    docs the gram explode is the same order as any tokenize pass and
-    the two shuffles move only (md5, pos) pairs.
-
-    Reference analog: OsmNightWatch keeps issue lists exactly-deduped
-    by content identity (IssuesData compare, Program.cs:129-151); this
-    is that identity test at token-span granularity over a corpus.
-    """
+def _dup_span_frames(df: DataFrame, id_col: str, text: str,
+                     n: int) -> tuple[DataFrame, DataFrame]:
+    """Shared plan prefix of the ExactSubstr family: returns
+    ``(t, sp)`` where ``t`` is (id, _t tokens) and ``sp`` is one row
+    per maximal duplicated span (id, _g, _s, _e) — start/end token
+    positions, 1-based inclusive. See :func:`substring_dup_spans` for
+    the plan-shape/scale discussion."""
     t = df.select(F.col(id_col), F.split(F.col(text), " ").alias("_t"))
     g = (
         t.select(
@@ -595,6 +572,62 @@ def substring_dup_spans(df: DataFrame, id_col: str = "doc_id",
     sp = gr.groupBy(id_col, "_g").agg(
         F.min("pos").alias("_s"), (F.max("pos") + F.lit(n - 1)).alias("_e")
     )
+    return t, sp
+
+
+def _dup_span_ctes(table: str, id_col: str, text: str, n: int) -> str:
+    """Shared WITH-clause prefix of the DuckDB twins — CTEs ``_t``
+    (tokens) and ``sp`` (maximal spans), identical gram strings, md5
+    keys and island merge as :func:`_dup_span_frames`."""
+    return f"""
+_t AS (SELECT {id_col}, string_split({text}, ' ') AS t FROM {table}),
+g AS (
+  SELECT {id_col}, CAST(i AS INTEGER) AS pos,
+         md5(array_to_string(t[CAST(i AS INTEGER):CAST(i AS INTEGER) + {n - 1}], ' ')) AS gram
+  FROM _t, unnest(range(1, len(t) - {n} + 2)) AS u(i)
+  WHERE len(t) >= {n}),
+dup AS (SELECT gram FROM g GROUP BY 1 HAVING COUNT(*) > 1),
+m AS (SELECT {id_col}, pos FROM g WHERE gram IN (SELECT gram FROM dup)),
+fl AS (SELECT {id_col}, pos,
+       CASE WHEN pos - lag(pos) OVER (PARTITION BY {id_col} ORDER BY pos) > {n}
+            THEN 1 ELSE 0 END AS f FROM m),
+gr AS (SELECT {id_col}, pos,
+       SUM(f) OVER (PARTITION BY {id_col} ORDER BY pos) AS grp FROM fl),
+sp AS (SELECT {id_col}, grp, MIN(pos) AS s, MAX(pos) + {n - 1} AS e
+       FROM gr GROUP BY 1, 2)""".strip()
+
+
+def substring_dup_spans(df: DataFrame, id_col: str = "doc_id",
+                        text: str = "text", n: int = 8) -> DataFrame:
+    """Exact duplicated-substring spans — the ExactSubstr variant of
+    corpus dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"), recast as a distributed plan instead of
+    a single-machine suffix array.
+
+    Definition: a token ``n``-gram that occurs >= 2 times corpus-wide
+    (across documents or repeated within one) marks every position it
+    starts at; marked positions whose ``n``-token windows touch or
+    overlap merge into maximal duplicated spans. Output is one row per
+    document that carries at least one span: ``(id, n_spans,
+    dup_tokens, total_tokens, dup_pct)`` — the per-doc "how much of
+    this text exists elsewhere" signal a cut/keep policy consumes.
+
+    Plan shape (all native, no Python): tokenize per row, md5 each
+    ``n``-gram (16-byte key — the raw text never shuffles), ONE
+    count aggregation over grams (partial agg absorbs boilerplate-hot
+    grams map-side), ONE semi-join marking positions (each position
+    matches at most once, so output is bounded by corpus token count
+    regardless of gram frequency), then a per-document window merges
+    starts into islands (start gap <= n ⇒ same span — this is interval
+    union, so overlapping windows are never double-counted). At 10^12
+    docs the gram explode is the same order as any tokenize pass and
+    the two shuffles move only (md5, pos) pairs.
+
+    Reference analog: OsmNightWatch keeps issue lists exactly-deduped
+    by content identity (IssuesData compare, Program.cs:129-151); this
+    is that identity test at token-span granularity over a corpus.
+    """
+    t, sp = _dup_span_frames(df, id_col, text, n)
     per_doc = sp.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_spans"),
         F.sum(F.col("_e") - F.col("_s") + 1).cast("long").alias("dup_tokens"),
@@ -613,21 +646,7 @@ def substring_dup_spans_sql(table: str, id_col: str = "doc_id",
     strings (space-joined token slices), identical md5 keys, identical
     island merge (start gap <= n), so the compare is exact."""
     return f"""
-WITH _t AS (SELECT {id_col}, string_split({text}, ' ') AS t FROM {table}),
-g AS (
-  SELECT {id_col}, CAST(i AS INTEGER) AS pos,
-         md5(array_to_string(t[CAST(i AS INTEGER):CAST(i AS INTEGER) + {n - 1}], ' ')) AS gram
-  FROM _t, unnest(range(1, len(t) - {n} + 2)) AS u(i)
-  WHERE len(t) >= {n}),
-dup AS (SELECT gram FROM g GROUP BY 1 HAVING COUNT(*) > 1),
-m AS (SELECT {id_col}, pos FROM g WHERE gram IN (SELECT gram FROM dup)),
-fl AS (SELECT {id_col}, pos,
-       CASE WHEN pos - lag(pos) OVER (PARTITION BY {id_col} ORDER BY pos) > {n}
-            THEN 1 ELSE 0 END AS f FROM m),
-gr AS (SELECT {id_col}, pos,
-       SUM(f) OVER (PARTITION BY {id_col} ORDER BY pos) AS grp FROM fl),
-sp AS (SELECT {id_col}, grp, MIN(pos) AS s, MAX(pos) + {n - 1} AS e
-       FROM gr GROUP BY 1, 2),
+WITH {_dup_span_ctes(table, id_col, text, n)},
 pd AS (SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS n_spans,
               CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens FROM sp GROUP BY 1),
 tot AS (SELECT {id_col}, CAST(len(string_split({text}, ' ')) AS BIGINT) AS total_tokens
@@ -635,4 +654,71 @@ tot AS (SELECT {id_col}, CAST(len(string_split({text}, ' ')) AS BIGINT) AS total
 SELECT pd.{id_col}, n_spans, dup_tokens, total_tokens,
        CAST(FLOOR(100 * dup_tokens / total_tokens) AS BIGINT) AS dup_pct
 FROM pd JOIN tot USING ({id_col})
+""".strip()
+
+
+def substring_dedup_cut(df: DataFrame, id_col: str = "doc_id",
+                        text: str = "text", n: int = 8) -> DataFrame:
+    """Apply the ExactSubstr policy: return the corpus with every
+    duplicated span CUT out of the text — the step Lee et al. 2022
+    actually apply to training data (their suffix-array pipeline's
+    output), downstream of the :func:`substring_dup_spans` signal.
+
+    Every document comes back: ``(id, clean_text, kept_tokens,
+    dropped_tokens)``. Docs without spans pass through verbatim; docs
+    with spans are rebuilt from the tokens whose position falls in no
+    span (a fully-duplicated doc becomes the empty string — exactly
+    the Lee et al. cut, which keeps zero copies of text seen twice;
+    pair with :func:`minhash_lsh_pairs` clustering when one canonical
+    copy should survive instead).
+
+    Plan shape: the shared span prefix (see
+    :func:`substring_dup_spans`), then spans roll up into a per-doc
+    array (span count per doc is bounded by total_tokens/n — in
+    practice a handful) and ONE broadcast-eligible left join brings
+    them to the tokens; the rebuild is a native array
+    ``filter``/``exists`` lambda pair — no Python, no extra shuffle
+    beyond the span prefix's two.
+    """
+    t, sp = _dup_span_frames(df, id_col, text, n)
+    spans = sp.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(F.col("_s").alias("lo"), F.col("_e").alias("hi"))
+        ).alias("_spans")
+    )
+    joined = t.join(spans, id_col, "left")
+    kept = F.expr(
+        "CASE WHEN _spans IS NULL THEN _t ELSE "
+        "filter(_t, (x, i) -> NOT exists(_spans, "
+        "sp -> i + 1 >= sp.lo AND i + 1 <= sp.hi)) END"
+    )
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.size(kept).cast("long").alias("kept_tokens"),
+        (F.size("_t") - F.size(kept)).cast("long").alias("dropped_tokens"),
+    )
+
+
+def substring_dedup_cut_sql(table: str, id_col: str = "doc_id",
+                            text: str = "text", n: int = 8) -> str:
+    """DuckDB twin of :func:`substring_dedup_cut` — same span CTEs,
+    same position-in-no-span rebuild (DuckDB list lambdas index from
+    1, matching the 1-based span positions directly)."""
+    return f"""
+WITH {_dup_span_ctes(table, id_col, text, n)},
+spl AS (SELECT {id_col}, list({{'lo': s, 'hi': e}}) AS spans
+        FROM sp GROUP BY 1),
+cut AS (
+  SELECT d.{id_col},
+         CASE WHEN spl.spans IS NULL THEN string_split(d.{text}, ' ')
+              ELSE list_filter(string_split(d.{text}, ' '), (x, i) ->
+                   len(list_filter(spl.spans,
+                       sp -> i >= sp.lo AND i <= sp.hi)) = 0) END AS keep,
+         len(string_split(d.{text}, ' ')) AS tot
+  FROM {table} d LEFT JOIN spl USING ({id_col}))
+SELECT {id_col}, COALESCE(array_to_string(keep, ' '), '') AS clean_text,
+       CAST(len(keep) AS BIGINT) AS kept_tokens,
+       CAST(tot - len(keep) AS BIGINT) AS dropped_tokens
+FROM cut
 """.strip()

@@ -712,6 +712,28 @@ def _sql_dedup_substrings():
     return D.substring_dup_spans_sql(f"({inject})", "doc_id", "text", n=8)
 
 
+def q_substring_cut(spark, sf_dir):
+    """ExactSubstr cut applied: the boilerplate-injected corpus comes
+    back with every duplicated span removed (kept/dropped token counts
+    attached) — the policy output of q:dedup_substrings' signal."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    injected = d.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 < 2,
+               F.concat(F.col("text"), F.lit(" " + _BOILER)))
+        .otherwise(F.col("text")),
+    )
+    return D.substring_dedup_cut(injected, "doc_id", "text", n=8)
+
+
+def _sql_substring_cut():
+    inject = (
+        "SELECT doc_id, CASE WHEN doc_id % 7 < 2 THEN text || ' " + _BOILER
+        + "' ELSE text END AS text FROM documents"
+    )
+    return D.substring_dedup_cut_sql(f"({inject})", "doc_id", "text", n=8)
+
+
 def q_epoch_shard(spark, sf_dir):
     """Per-epoch deterministic global shuffle into training shards:
     every doc gets a (shard, pos) that is a pure function of
@@ -1486,6 +1508,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_substrings": q_dedup_substrings,
     "source_filter": q_source_filter,
     "epoch_shard": q_epoch_shard,
+    "substring_cut": q_substring_cut,
     "minhash_pairs": q_minhash_pairs,
     "dedup_clusters": q_dedup_clusters,
     "stratified_sample": q_stratified_sample,
@@ -1543,6 +1566,7 @@ ORACLES: dict[str, str] = {
     "dedup_substrings": _sql_dedup_substrings(),
     "source_filter": _sql_source_filter(),
     "epoch_shard": _sql_epoch_shard(),
+    "substring_cut": _sql_substring_cut(),
     "minhash_pairs": _sql_minhash_pairs(),
     "dedup_clusters": _sql_dedup_clusters(),
     "stratified_sample": _sql_stratified_sample(),

@@ -560,3 +560,56 @@ def test_epoch_shard_deterministic_balanced_decorrelated(spark):
     pd.testing.assert_frame_equal(
         got, want.astype(got.dtypes.to_dict()), check_names=False
     )
+
+
+def test_substring_dedup_cut_hand_corpus(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(SPAN_DOCS, columns=["doc_id", "text"])
+    )
+    out = (
+        D.substring_dedup_cut(df, "doc_id", "text", n=4)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    # every doc comes back
+    assert sorted(out.index) == [10, 11, 12, 13, 14, 15, 16]
+    # span-less docs pass through verbatim
+    assert out.loc[13].clean_text == "u v w"
+    assert out.loc[14].clean_text == "m1 m2 m3 m4 m5 m6 m7 m8"
+    assert out.loc[13].dropped_tokens == 0
+    # the shared "a b c d e f" run is cut from both carriers
+    assert out.loc[10].clean_text == "g h i j"
+    assert out.loc[11].clean_text == "x1 x2 y1 y2"
+    assert (out.loc[10].kept_tokens, out.loc[10].dropped_tokens) == (4, 6)
+    # fully-duplicated doc becomes empty (zero copies survive the cut)
+    assert out.loc[12].clean_text == ""
+    assert out.loc[16].clean_text == ""
+    # two islands cut, middle unique run survives
+    assert out.loc[15].clean_text == "z1 z2 z3 z4 z5"
+    # conservation: kept + dropped == total everywhere
+    tot = {d: len(t.split()) for d, t in SPAN_DOCS}
+    for d, r in out.iterrows():
+        assert r.kept_tokens + r.dropped_tokens == tot[d]
+
+
+def test_substring_dedup_cut_matches_duckdb_twin(spark):
+    import duckdb
+
+    df = spark.createDataFrame(
+        pd.DataFrame(SPAN_DOCS, columns=["doc_id", "text"])
+    )
+    got = (
+        D.substring_dedup_cut(df, "doc_id", "text", n=4)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("cut_in", pd.DataFrame(SPAN_DOCS, columns=["doc_id", "text"]))
+    want = con.execute(
+        D.substring_dedup_cut_sql("cut_in", "doc_id", "text", n=4)
+        + " ORDER BY doc_id"
+    ).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.astype({"doc_id": "int64"}),
+        want.astype({"doc_id": "int64", "kept_tokens": "int64",
+                     "dropped_tokens": "int64"}),
+        check_names=False,
+    )
