@@ -19,7 +19,7 @@ engines produce bit-identical results:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 STOPWORDS = ("the", "a", "of", "and")
@@ -429,3 +429,60 @@ def pii_scrub_sql(table: str = "documents", id_col: str = "doc_id",
         scrubbed = f"regexp_replace({scrubbed}, '{pat}', '{repl}', 'g')"
     return (f"SELECT {id_col}, {counts}, {scrubbed} AS {text} "
             f"FROM {table}")
+
+
+def ngram_topk(df: DataFrame, n: int = 2, k: int = 100,
+               text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus-level top-``k`` token ``n``-grams with counts — the
+    vocabulary-statistics pass of tokenizer construction (BPE seed
+    merges, stop-phrase lists, boilerplate discovery). Returns
+    ``(rank, gram, n_docs, n_occurrences)`` ordered by occurrence
+    count with a total deterministic tie-break (count DESC, gram ASC).
+
+    Plan shape: one explode + ONE two-level aggregation
+    (per-(gram) occurrence count and containing-doc count via
+    count(distinct-free): docs are counted by aggregating per-doc
+    first), then a global top-k. The top-k is a TakeOrdered — each
+    partition keeps its local k and only k·partitions rows reach the
+    driver-side heap, so there is NO global sort even at 10^12 grams.
+    Hot grams (stopword pairs at web scale) are absorbed map-side by
+    the partial aggregation, same argument as exact dedup.
+    """
+    grams = df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(F.expr(_ngram_expr(text, n))).alias("gram"),
+    )
+    per_doc = grams.groupBy("gram", "_doc").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    counts = per_doc.groupBy("gram").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_c").cast("long").alias("n_occurrences"),
+    )
+    topk = counts.orderBy(F.desc("n_occurrences"), F.asc("gram")).limit(k)
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("gram"))
+    return topk.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "gram", "n_docs", "n_occurrences",
+    )
+
+
+def ngram_topk_sql(table: str = "documents", n: int = 2, k: int = 100,
+                   text: str = "text", id_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`ngram_topk` (same grams, same counts,
+    same total order)."""
+    return f"""
+WITH t AS (SELECT {id_col}, string_split({text}, ' ') AS toks FROM {table}),
+g AS (
+  SELECT {id_col} AS doc,
+         array_to_string(toks[CAST(i AS INTEGER):CAST(i AS INTEGER) + {n - 1}], ' ') AS gram
+  FROM t, unnest(range(1, greatest(len(toks) - {n - 1}, 1) + 1)) AS u(i)),
+pd AS (SELECT gram, doc, COUNT(*) AS c FROM g GROUP BY 1, 2),
+c AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(c) AS BIGINT) AS n_occurrences
+      FROM pd GROUP BY 1),
+tk AS (SELECT * FROM c ORDER BY n_occurrences DESC, gram ASC LIMIT {k})
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, gram ASC) AS BIGINT) AS rank,
+       gram, n_docs, n_occurrences
+FROM tk
+""".strip()

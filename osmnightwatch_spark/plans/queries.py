@@ -750,6 +750,20 @@ def _sql_epoch_shard():
     return epoch_shard_sql("documents", epoch=3, n_shards=8)
 
 
+def q_ngram_topk(spark, sf_dir):
+    """Corpus-level top-k token bigrams with per-gram doc and
+    occurrence counts — the vocabulary-statistics pass a tokenizer
+    build (BPE seed merges, stop-phrase discovery) starts from.
+    Reference analog: the per-admin feature-count aggregations
+    (AdminCountPerCountryAnalyzer) re-aimed at corpus vocabulary."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return TX.ngram_topk(d, n=2, k=100)
+
+
+def _sql_ngram_topk():
+    return TX.ngram_topk_sql("documents", n=2, k=100)
+
+
 def q_source_filter(spark, sf_dir):
     """Domain-level quality gate: keep docs whose source's mean length
     clears the bar (FineWeb-style judge-the-domain filtering)."""
@@ -1507,6 +1521,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jaccard_topk": q_jaccard_topk,
     "dedup_substrings": q_dedup_substrings,
     "source_filter": q_source_filter,
+    "ngram_topk": q_ngram_topk,
     "epoch_shard": q_epoch_shard,
     "substring_cut": q_substring_cut,
     "minhash_pairs": q_minhash_pairs,
@@ -1565,6 +1580,7 @@ ORACLES: dict[str, str] = {
     "jaccard_topk": _sql_jaccard_topk(),
     "dedup_substrings": _sql_dedup_substrings(),
     "source_filter": _sql_source_filter(),
+    "ngram_topk": _sql_ngram_topk(),
     "epoch_shard": _sql_epoch_shard(),
     "substring_cut": _sql_substring_cut(),
     "minhash_pairs": _sql_minhash_pairs(),

@@ -613,3 +613,33 @@ def test_substring_dedup_cut_matches_duckdb_twin(spark):
                      "dropped_tokens": "int64"}),
         check_names=False,
     )
+
+
+def test_ngram_topk_counts_and_tiebreak(spark):
+    """Hand-checked bigram stats: within-doc repeats count per
+    occurrence, doc counts count each doc once, count ties break by
+    gram ASC, and a doc shorter than n yields its single short gram
+    (the clamp the SQL twin shares)."""
+    import duckdb
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b a b c", "a b x", "z"],
+    })
+    df = spark.createDataFrame(pdf)
+    got = TX.ngram_topk(df, n=2, k=3).toPandas()
+    assert list(got.columns) == ["rank", "gram", "n_docs", "n_occurrences"]
+    assert list(got.gram) == ["a b", "b a", "b c"]
+    assert list(got.n_occurrences) == [3, 1, 1]
+    assert list(got.n_docs) == [2, 1, 1]
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = con.execute(TX.ngram_topk_sql("documents", n=2, k=3)).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.astype({"rank": "int64", "n_docs": "int64",
+                    "n_occurrences": "int64"}),
+        want.astype({"rank": "int64", "n_docs": "int64",
+                     "n_occurrences": "int64"}),
+        check_names=False,
+    )
