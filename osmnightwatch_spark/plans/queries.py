@@ -1087,6 +1087,57 @@ def _sql_winnow_fingerprints():
     )
 
 
+_PH_K1 = 2654435761          # Knuth multiplicative, fills bits ~32..48
+_PH_M1 = 1 << 62
+_PH_K2 = 40503
+_PH_SHIFT = 1 << 41          # low 21 bits of the K2 mix lifted to bits 41..61
+_PH_FLIP = (1 << 59) | (1 << 5)   # 2-bit flip → planted hamming-2 pairs
+
+
+def q_phash_near_dup(spark, sf_dir):
+    """Image near-dup pairs by perceptual-hash Hamming distance
+    (``dedup.phash_near_dup_pairs`` — banded pigeonhole equi-join, no
+    O(n²) pass). Corpus: an events-derived 62-bit phash stand-in (two
+    xored multiplicative mixes so every 8-bit band varies — a hash
+    leaving high bands constant would silently degrade the band join
+    to all-pairs), plus a hamming-2 variant planted for every 10th
+    image. The DuckDB twin is the BRUTE-FORCE all-pairs scan — an
+    independent algorithm, equal output exactly because pigeonhole
+    (max_hamming=7 ≤ bands-1) makes the banded join lossless."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ph = (
+        ((F.col("event_id") * _PH_K1) % _PH_M1)
+        .bitwiseXOR(((F.col("event_id") * _PH_K2) % (1 << 21)) * _PH_SHIFT)
+    )
+    base = e.select(F.col("event_id").alias("img_id"), ph.alias("phash"))
+    variants = (
+        base.where(F.col("img_id") % 10 == 0)
+        .select((F.col("img_id") + 1000000).alias("img_id"),
+                F.col("phash").bitwiseXOR(F.lit(_PH_FLIP)).alias("phash"))
+    )
+    corpus = base.unionAll(variants)
+    return D.phash_near_dup_pairs(corpus, "img_id", "phash",
+                                  max_hamming=7, bands=8)
+
+
+def _sql_phash_near_dup():
+    return f"""
+WITH base AS (
+  SELECT event_id AS img_id,
+         xor((event_id * {_PH_K1}) % {_PH_M1},
+             ((event_id * {_PH_K2}) % {1 << 21}) * {_PH_SHIFT}) AS phash
+  FROM events),
+var AS (
+  SELECT img_id + 1000000 AS img_id, xor(phash, {_PH_FLIP}) AS phash
+  FROM base WHERE img_id % 10 = 0),
+c AS (SELECT * FROM base UNION ALL SELECT * FROM var)
+SELECT a.img_id AS id_a, b.img_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM c a JOIN c b ON a.img_id < b.img_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 7
+""".strip()
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs through the MULTI-TABLE LSH path
     (2 tables — the 10^12-row shape): the oracle re-derives both bucket
@@ -1536,6 +1587,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "winnow_fingerprints": q_winnow_fingerprints,
     "embedding_near_dup": q_embedding_near_dup,
+    "phash_near_dup": q_phash_near_dup,
     "adaptive_cell_split": q_adaptive_cell_split,
     "important_features": q_important_features,
     "cdc_merge": q_cdc_merge,
@@ -1595,6 +1647,7 @@ ORACLES: dict[str, str] = {
     "ann_lsh_topk": _sql_ann_lsh_topk(),
     "winnow_fingerprints": _sql_winnow_fingerprints(),
     "embedding_near_dup": _sql_embedding_near_dup(),
+    "phash_near_dup": _sql_phash_near_dup(),
     "adaptive_cell_split": _sql_adaptive_cell_split(),
     "important_features": SQL_important_features,
     "cdc_merge": SQL_cdc_merge,
