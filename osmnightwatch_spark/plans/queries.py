@@ -1537,6 +1537,42 @@ def _sf_of(sf_dir: str) -> float:
 
 # ---------------------------------------------------------------------------
 # registry
+def q_asof_join(spark, sf_dir):
+    """Point-in-time join (``operators/asof.asof_join``): every probe
+    event (id % 10 == 0) matched to the latest other event by the same
+    user-group at-or-before its timestamp. Spark side is the
+    union+window rewrite (one shuffle); the oracle is DuckDB's NATIVE
+    ``ASOF LEFT JOIN`` — a genuinely independent engine path."""
+    from ..operators.asof import asof_join
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "event_id",
+            (F.col("user_id") % 50).alias("k"),
+            F.unix_timestamp("ts").alias("te"),
+            F.round("value", 6).alias("val"),
+        )
+    )
+    probes = ev.where(F.col("event_id") % 10 == 0).drop("val")
+    refs = ev.where(F.col("event_id") % 10 != 0)
+    return asof_join(probes, refs, key="k", t="te",
+                     payload=["event_id", "val"])
+
+
+def _sql_asof_join() -> str:
+    from ..operators.asof import asof_join_sql
+
+    base = ("SELECT event_id, user_id % 50 AS k, epoch(ts) AS te, "
+            "ROUND(value, 6) AS val FROM events")
+    return asof_join_sql(
+        f"SELECT event_id, k, te FROM ({base}) WHERE event_id % 10 = 0",
+        f"SELECT * FROM ({base}) WHERE event_id % 10 <> 0",
+        key="k", t="te", payload=["event_id", "val"],
+        probe_select="p.event_id, p.k, p.te",
+    )
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1552,6 +1588,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "endpoint_degree": q_endpoint_degree,
     "topk_per_group": q_topk_per_group,
     "sessionize": q_sessionize,
+    "asof_join": q_asof_join,
     "issue_counts": q_issue_counts,
     "scalar_pipeline": q_scalar_pipeline,
     "cell_encode_counts": q_cell_encode_counts,
@@ -1612,6 +1649,7 @@ ORACLES: dict[str, str] = {
     "endpoint_degree": SQL_endpoint_degree,
     "topk_per_group": SQL_topk_per_group,
     "sessionize": SQL_sessionize,
+    "asof_join": _sql_asof_join(),
     "issue_counts": SQL_issue_counts,
     "scalar_pipeline": SQL_scalar_pipeline,
     "cell_encode_counts": SQL_cell_encode_counts,
