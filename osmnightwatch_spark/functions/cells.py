@@ -301,6 +301,13 @@ def parent_col(cell: "Column", steps: int = 1) -> "Column":
 # ---------------------------------------------------------------------------
 
 
+def parent_sql(e: str, steps: int = 1) -> str:
+    """``parent_col`` rendered as ANSI SQL (same bit arithmetic)."""
+    res = f"(({e}) >> {_RES_SHIFT})"
+    morton = f"(({e}) & {(1 << _RES_SHIFT) - 1})"
+    return f"((({res} - {steps}) << {_RES_SHIFT}) | ({morton} >> {2 * steps}))"
+
+
 def _part1by1_sql(e: str) -> str:
     for shift, mask in ((16, _M1), (8, _M2), (4, _M3), (2, _M4), (1, _M5)):
         e = f"(({e} | ({e} << {shift})) & {mask})"

@@ -68,3 +68,68 @@ def salted_group_count(points: DataFrame, key: str, salt_buckets: int = 32,
     )
     partial = salted.groupBy(key, "_salt").agg(F.count(F.lit(1)).alias("_pn"))
     return partial.groupBy(key).agg(F.sum("_pn").alias(value_alias))
+
+
+def compact_cells(cells: DataFrame, min_res: int, max_res: int,
+                  cell: str = "cell") -> DataFrame:
+    """Hierarchical covering compaction (the H3 ``compact`` analog):
+    wherever all 4 children of a parent are present, replace them by
+    the parent — repeatedly, up the ladder from ``max_res`` down to
+    ``min_res``. Output is the minimal mixed-resolution cell set with
+    the same spatial extent: columns ``(cell, res)``.
+
+    Why it matters at scale: polygon coverings (``pip_join``) and
+    dirty-tile scopes are broadcast to every executor; compaction
+    shrinks a dense res-R covering by up to 4× per level with NO loss
+    of extent, which is the difference between a covering that fits in
+    a broadcast and one that does not.
+
+    Shape: input cells must all sit at ``max_res`` (ids embed their
+    res; mixed inputs should be normalized first). Each level is one
+    groupBy on the parent id — a ladder of ``max_res - min_res``
+    small shuffles, each strictly smaller than the last (promoted
+    parents only); no Python, no collect. Duplicates are tolerated
+    (``distinct`` per level) so upstream need not pre-dedup.
+    """
+    if not min_res <= max_res:
+        raise ValueError(f"min_res {min_res} > max_res {max_res}")
+    lvl = cells.select(F.col(cell).alias("cell")).distinct()
+    out = None
+    for r in range(max_res, min_res, -1):
+        parents = (
+            lvl.groupBy(C.parent_col(F.col("cell")).alias("parent"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.collect_list("cell").alias("kids"))
+        )
+        kept = (
+            parents.where(F.col("n") < 4)
+            .select(F.explode("kids").alias("cell"),
+                    F.lit(r).alias("res"))
+        )
+        out = kept if out is None else out.unionByName(kept)
+        lvl = parents.where(F.col("n") == 4).select(F.col("parent").alias("cell"))
+    final = lvl.select("cell", F.lit(min_res).alias("res"))
+    return final if out is None else out.unionByName(final)
+
+
+def compact_cells_sql(cells_sql: str, min_res: int, max_res: int) -> str:
+    """DuckDB twin of ``compact_cells`` — one CTE pair per ladder
+    level (``cells_sql`` must yield a ``cell`` column at ``max_res``)."""
+    from ..functions.cells import parent_sql
+
+    ctes = [f"l{max_res} AS (SELECT DISTINCT cell FROM ({cells_sql}))"]
+    outs = []
+    for r in range(max_res, min_res, -1):
+        ctes.append(
+            f"g{r} AS (SELECT {parent_sql('cell')} AS parent, COUNT(*) AS n "
+            f"FROM l{r} GROUP BY 1)"
+        )
+        outs.append(
+            f"SELECT cell, {r} AS res FROM l{r} "
+            f"WHERE {parent_sql('cell')} IN (SELECT parent FROM g{r} WHERE n < 4)"
+        )
+        ctes.append(
+            f"l{r - 1} AS (SELECT parent AS cell FROM g{r} WHERE n = 4)"
+        )
+    outs.append(f"SELECT cell, {min_res} AS res FROM l{min_res}")
+    return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(outs)

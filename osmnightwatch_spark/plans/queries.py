@@ -1537,6 +1537,27 @@ def _sf_of(sf_dir: str) -> float:
 
 # ---------------------------------------------------------------------------
 # registry
+def q_cell_compact(spark, sf_dir):
+    """Hierarchical covering compaction (``tiling.compact_cells``):
+    the distinct res-6 cells touched by events collapse into the
+    minimal mixed-resolution covering (full 4-sibling sets promoted to
+    their parent, recursively). Oracle: one CTE pair per ladder level
+    over the same bit arithmetic."""
+    from ..operators.tiling import compact_cells
+
+    pts = _events_geo(spark, sf_dir)
+    cells = pts.select(C.cell_col(F.col("lon"), F.col("lat"), 6).alias("cell"))
+    return compact_cells(cells, min_res=2, max_res=6)
+
+
+def _sql_cell_compact() -> str:
+    from ..operators.tiling import compact_cells_sql
+
+    inner = (f"SELECT {C.cell_sql(_GEO_LON_SQL, _GEO_LAT_SQL, 6)} AS cell "
+             "FROM events")
+    return compact_cells_sql(inner, min_res=2, max_res=6)
+
+
 def q_asof_join(spark, sf_dir):
     """Point-in-time join (``operators/asof.asof_join``): every probe
     event (id % 10 == 0) matched to the latest other event by the same
@@ -1589,6 +1610,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_per_group": q_topk_per_group,
     "sessionize": q_sessionize,
     "asof_join": q_asof_join,
+    "cell_compact": q_cell_compact,
     "issue_counts": q_issue_counts,
     "scalar_pipeline": q_scalar_pipeline,
     "cell_encode_counts": q_cell_encode_counts,
@@ -1650,6 +1672,7 @@ ORACLES: dict[str, str] = {
     "topk_per_group": SQL_topk_per_group,
     "sessionize": SQL_sessionize,
     "asof_join": _sql_asof_join(),
+    "cell_compact": _sql_cell_compact(),
     "issue_counts": SQL_issue_counts,
     "scalar_pipeline": SQL_scalar_pipeline,
     "cell_encode_counts": SQL_cell_encode_counts,

@@ -137,3 +137,57 @@ def test_ring1_cells_col_matches_numpy(spark):
         exp = C.ring_neighbors(cells, 1)
         for i in range(len(lon)):
             assert sorted(set(int(v) for v in exp[i])) == list(got[i]), (res, i)
+
+
+# --- compact_cells ----------------------------------------------------------
+
+def _expand_to(cell_ids, res):
+    """Expand mixed-res cells back down to ``res`` via children_cells."""
+    import numpy as np
+
+    from osmnightwatch_spark.functions import cells as C
+
+    out = []
+    for c in np.asarray(cell_ids, dtype=np.int64):
+        cur = np.array([c])
+        while int(cur[0]) >> 58 < res:
+            cur = C.children_cells(cur).reshape(-1)
+        out.extend(cur.tolist())
+    return sorted(out)
+
+
+def test_compact_full_world_collapses_to_root(spark):
+    import itertools
+
+    import numpy as np
+
+    from osmnightwatch_spark.functions import cells as C
+    from osmnightwatch_spark.operators.tiling import compact_cells
+
+    xs, ys = zip(*itertools.product(range(4), range(4)))
+    full = C.cell_from_xy(np.array(xs), np.array(ys), 2).tolist()
+    df = spark.createDataFrame([(c,) for c in full], "cell long")
+    out = compact_cells(df, min_res=0, max_res=2).collect()
+    assert len(out) == 1 and out[0].res == 0
+
+
+def test_compact_preserves_extent_and_is_duplicate_tolerant(spark):
+    import numpy as np
+
+    from osmnightwatch_spark.functions import cells as C
+    from osmnightwatch_spark.operators.tiling import compact_cells
+
+    rng = np.random.default_rng(7)
+    n = 1 << 4
+    pick = rng.random((n, n)) < 0.7
+    xs, ys = np.nonzero(pick)
+    cells = C.cell_from_xy(xs, ys, 4).tolist()
+    df = spark.createDataFrame([(c,) for c in cells + cells[:50]], "cell long")
+    rows = compact_cells(df, min_res=1, max_res=4).collect()
+    assert _expand_to([r.cell for r in rows], 4) == sorted(cells)
+    # minimality: no surviving parent has all 4 children in the output
+    ids = {r.cell for r in rows}
+    from collections import Counter
+
+    sibs = Counter(int(C.parent_cell(np.array([c]))[0]) for c in ids)
+    assert all(v < 4 for v in sibs.values())
