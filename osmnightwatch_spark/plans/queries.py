@@ -1537,6 +1537,27 @@ def _sf_of(sf_dir: str) -> float:
 
 # ---------------------------------------------------------------------------
 # registry
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): deterministic quantized spherical
+    k-means (integer centroid sums — order-free, bit-reproducible)
+    + within-cluster cosine pruning keeping the centroid-farthest
+    member of each near-dup pair. Oracle re-runs the identical
+    integer-arithmetic scheme as unrolled CTEs. dims=16 is the
+    standard dimensionality truncation for the dedup pass (the
+    unrolled quantize SQL is O(dims^2) text; 16 keeps both engines'
+    expression trees small while preserving pair discrimination)."""
+    from ..operators.semdedup import semdedup
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semdedup(e, k=8, iters=2, dims=16, tau=0.3)
+
+
+def _sql_semdedup() -> str:
+    from ..operators.semdedup import semdedup_sql
+
+    return semdedup_sql("embeddings", k=8, iters=2, dims=16, tau=0.3)
+
+
 def q_cell_compact(spark, sf_dir):
     """Hierarchical covering compaction (``tiling.compact_cells``):
     the distinct res-6 cells touched by events collapse into the
@@ -1611,6 +1632,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "asof_join": q_asof_join,
     "cell_compact": q_cell_compact,
+    "semdedup": q_semdedup,
     "issue_counts": q_issue_counts,
     "scalar_pipeline": q_scalar_pipeline,
     "cell_encode_counts": q_cell_encode_counts,
@@ -1673,6 +1695,7 @@ ORACLES: dict[str, str] = {
     "sessionize": SQL_sessionize,
     "asof_join": _sql_asof_join(),
     "cell_compact": _sql_cell_compact(),
+    "semdedup": _sql_semdedup(),
     "issue_counts": SQL_issue_counts,
     "scalar_pipeline": SQL_scalar_pipeline,
     "cell_encode_counts": SQL_cell_encode_counts,

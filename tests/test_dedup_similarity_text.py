@@ -643,3 +643,50 @@ def test_ngram_topk_counts_and_tiebreak(spark):
                      "n_occurrences": "int64"}),
         check_names=False,
     )
+
+
+def test_semdedup_keep_outlier_and_determinism(spark):
+    """SemDeDup invariants on a planted corpus: (1) within a pair of
+    exact duplicates the LOWER id survives (sims tie -> id tiebreak
+    drops the higher id); (2) a vector with no tau-neighbor in its
+    cluster is kept; (3) the result is bit-identical under a different
+    input partitioning (the integer-sum centroid design's whole point);
+    (4) the DuckDB twin agrees row-for-row."""
+    import duckdb
+
+    from osmnightwatch_spark.operators import semdedup as SD
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(30, 8)).astype("float64")
+    base[13] = base[5]            # exact duplicate pair (5, 13)
+    base[20] = -base[4]           # antipode: cosine -1, never >= tau
+    pdf = pd.DataFrame({
+        "vec_id": range(30),
+        "embedding": [list(map(float, r)) for r in base],
+    })
+    df = spark.createDataFrame(pdf)
+
+    got = (SD.semdedup(df, k=3, iters=2, dims=8, tau=0.95)
+           .orderBy("vec_id").toPandas())
+    by_id = got.set_index("vec_id")
+    assert bool(by_id.loc[5, "kept"]) is True
+    assert bool(by_id.loc[13, "kept"]) is False
+    # duplicates land in the same cluster with identical sim
+    assert by_id.loc[5, "cluster"] == by_id.loc[13, "cluster"]
+    assert by_id.loc[5, "sim_r"] == by_id.loc[13, "sim_r"]
+    # the antipode row has no >= tau neighbor
+    assert bool(by_id.loc[20, "kept"]) is True
+
+    got2 = (SD.semdedup(df.repartition(7, "vec_id"), k=3, iters=2,
+                        dims=8, tau=0.95).orderBy("vec_id").toPandas())
+    pd.testing.assert_frame_equal(got, got2)
+
+    con = duckdb.connect()
+    con.register("emb", pdf)
+    want = con.execute(
+        SD.semdedup_sql("emb", k=3, iters=2, dims=8, tau=0.95)
+        + " ORDER BY vec_id").fetchdf()
+    pd.testing.assert_frame_equal(
+        got.astype({"kept": bool, "cluster": "int64", "vec_id": "int64"}),
+        want.astype({"kept": bool, "cluster": "int64", "vec_id": "int64"}),
+        check_names=False)
