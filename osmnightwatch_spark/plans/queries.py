@@ -1537,6 +1537,48 @@ def _sf_of(sf_dir: str) -> float:
 
 # ---------------------------------------------------------------------------
 # registry
+def q_range_join_events(spark, sf_dir):
+    """ST_DWithin-style distance join: every (probe, event) pair at
+    planar degree distance <= 2.0 — exact via ring-1 cell covering at
+    the radius-derived resolution, one equi-shuffle, no refine pass.
+    Reference analog: BrokenCoastlineAnalyzer.cs:140-166 bbox fetch
+    with a fixed radius instead of a fixed count."""
+    from ..operators.range_join import range_join
+
+    geo = _events_geo(spark, sf_dir)
+    probes = geo.where(F.col("event_id") % 50 == 0).withColumnRenamed(
+        "event_id", "probe_id")
+    return range_join(probes, geo, radius=2.0,
+                      left_id="probe_id", right_id="event_id")
+
+
+def _sql_range_join_events() -> str:
+    from ..operators.range_join import range_join_sql
+
+    probes = (f"SELECT event_id AS probe_id, lon, lat FROM ({_GEO_SQL}) "
+              "WHERE event_id % 50 = 0")
+    return range_join_sql(probes, _GEO_SQL, radius=2.0,
+                          left_id="probe_id", right_id="event_id")
+
+
+def q_dbscan_events(spark, sf_dir):
+    """Distributed DBSCAN (eps=2.0 deg, min_pts=4) over event points:
+    eps-neighbor counting via the self range join, core-core connected
+    components via pointer-jumping min-label CC, min-core-neighbor
+    border attachment (deterministic where textbook DBSCAN is
+    scan-order-dependent), NULL cluster = noise."""
+    from ..operators.range_join import dbscan
+
+    return dbscan(_events_geo(spark, sf_dir), eps=2.0, min_pts=4,
+                  id_col="event_id")
+
+
+def _sql_dbscan_events() -> str:
+    from ..operators.range_join import dbscan_sql
+
+    return dbscan_sql(_GEO_SQL, eps=2.0, min_pts=4, id_col="event_id")
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): deterministic quantized spherical
     k-means (integer centroid sums — order-free, bit-reproducible)
@@ -1633,6 +1675,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join": q_asof_join,
     "cell_compact": q_cell_compact,
     "semdedup": q_semdedup,
+    "range_join_events": q_range_join_events,
+    "dbscan_events": q_dbscan_events,
     "issue_counts": q_issue_counts,
     "scalar_pipeline": q_scalar_pipeline,
     "cell_encode_counts": q_cell_encode_counts,
@@ -1696,6 +1740,8 @@ ORACLES: dict[str, str] = {
     "asof_join": _sql_asof_join(),
     "cell_compact": _sql_cell_compact(),
     "semdedup": _sql_semdedup(),
+    "range_join_events": _sql_range_join_events(),
+    "dbscan_events": _sql_dbscan_events(),
     "issue_counts": SQL_issue_counts,
     "scalar_pipeline": SQL_scalar_pipeline,
     "cell_encode_counts": SQL_cell_encode_counts,
