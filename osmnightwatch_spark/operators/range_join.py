@@ -69,18 +69,22 @@ def res_for_radius(radius: float) -> int:
 def range_join(left: DataFrame, right: DataFrame, radius: float,
                left_id: str = "left_id", right_id: str = "right_id",
                lon: str = "lon", lat: str = "lat",
-               explode_left: bool = True) -> DataFrame:
+               explode_left: bool = True,
+               right_extra: tuple[str, ...] = ()) -> DataFrame:
     """All pairs at planar degree distance ≤ ``radius`` →
-    ``(left_id, right_id, dist)``.
+    ``(left_id, right_id, dist, *right_extra)``.
 
     Inputs carry ``(id, lon, lat)`` with the id column pre-named via
     ``left_id`` / ``right_id``. Self-joins pass the same DataFrame
     twice (with distinct id aliases) and filter ``left_id == right_id``
     afterwards if unwanted — self-pairs come out at dist 0.
     ``explode_left=False`` flips which side pays the ×9 explode
-    (choose the smaller).
+    (choose the smaller). ``right_extra`` columns ride through the
+    join from the right side (payload for downstream aggs — keeps
+    consumers at ONE shuffle instead of a post-hoc rejoin).
     """
     res = res_for_radius(radius)
+    extra = [F.col(c) for c in right_extra]
     if explode_left:
         l = C.ring1_cells_col(left, res, lon=lon, lat=lat, out="_ring")
         l = l.select(
@@ -89,7 +93,7 @@ def range_join(left: DataFrame, right: DataFrame, radius: float,
         )
         r = C.attach_cell(right, res, lon=lon, lat=lat, out="_cell").select(
             F.col(right_id), F.col(lon).alias("_rlon"),
-            F.col(lat).alias("_rlat"), "_cell",
+            F.col(lat).alias("_rlat"), F.col("_cell"), *extra,
         )
     else:
         l = C.attach_cell(left, res, lon=lon, lat=lat, out="_cell").select(
@@ -99,28 +103,30 @@ def range_join(left: DataFrame, right: DataFrame, radius: float,
         r = C.ring1_cells_col(right, res, lon=lon, lat=lat, out="_ring")
         r = r.select(
             F.col(right_id), F.col(lon).alias("_rlon"), F.col(lat).alias("_rlat"),
-            F.explode(F.array_distinct("_ring")).alias("_cell"),
+            F.explode(F.array_distinct("_ring")).alias("_cell"), *extra,
         )
     d2 = ((F.col("_llon") - F.col("_rlon")) * (F.col("_llon") - F.col("_rlon"))
           + (F.col("_llat") - F.col("_rlat")) * (F.col("_llat") - F.col("_rlat")))
     return (
         l.join(r, "_cell")
         .where(d2 <= F.lit(float(radius) * float(radius)))
-        .select(left_id, right_id, F.sqrt(d2).alias("dist"))
+        .select(left_id, right_id, F.sqrt(d2).alias("dist"), *right_extra)
     )
 
 
 def range_join_sql(left_sql: str, right_sql: str, radius: float,
                    left_id: str = "left_id", right_id: str = "right_id",
-                   lon: str = "lon", lat: str = "lat") -> str:
+                   lon: str = "lon", lat: str = "lat",
+                   right_extra: tuple[str, ...] = ()) -> str:
     """Brute-force DuckDB twin: cross join + the identical squared
     predicate and the identical ``sqrt`` on the squared sum (same op
     sequence ⇒ bit-identical doubles)."""
     d2 = (f"(l.{lon} - r.{lon}) * (l.{lon} - r.{lon}) + "
           f"(l.{lat} - r.{lat}) * (l.{lat} - r.{lat})")
+    ex = "".join(f", r.{c} AS {c}" for c in right_extra)
     return (
         f"SELECT l.{left_id} AS {left_id}, r.{right_id} AS {right_id}, "
-        f"sqrt({d2}) AS dist "
+        f"sqrt({d2}) AS dist{ex} "
         f"FROM ({left_sql}) l JOIN ({right_sql}) r "
         f"ON {d2} <= {float(radius) * float(radius)!r}"
     )

@@ -1579,6 +1579,53 @@ def _sql_dbscan_events() -> str:
     return dbscan_sql(_GEO_SQL, eps=2.0, min_pts=4, id_col="event_id")
 
 
+def q_idw_surface(spark, sf_dir):
+    """IDW (power-2) field interpolation at probe points from in-radius
+    event values — quantize-then-sum makes the weighted sums exact
+    bigints, so the distributed agg hash-matches the brute twin."""
+    from ..operators.geo_stats import idw_surface
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lon, lat = _geo_lonlat(F.col("event_id"))
+    pts = ev.select(F.col("event_id").alias("point_id"),
+                    lon.alias("lon"), lat.alias("lat"), "value")
+    probes = _events_geo(spark, sf_dir).where(
+        F.col("event_id") % 100 == 0).withColumnRenamed(
+        "event_id", "probe_id")
+    return idw_surface(probes, pts, radius=3.0)
+
+
+def _sql_idw_surface() -> str:
+    from ..operators.geo_stats import idw_surface_sql
+
+    points = (f"SELECT event_id AS point_id, {_GEO_LON_SQL} AS lon, "
+              f"{_GEO_LAT_SQL} AS lat, value FROM events")
+    probes = (f"SELECT event_id AS probe_id, lon, lat FROM ({_GEO_SQL}) "
+              "WHERE event_id % 100 = 0")
+    return idw_surface_sql(probes, points, radius=3.0)
+
+
+def q_path_length(spark, sf_dir):
+    """Per-user great-circle trajectory length over (ts, event_id)-
+    ordered event fixes, hops floor-quantized to integer millimetres
+    so the per-user sums are order-free exact integers."""
+    from ..operators.geo_stats import path_length
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lon, lat = _geo_lonlat(F.col("event_id"))
+    pts = ev.select("user_id", "ts", "event_id",
+                    lon.alias("lon"), lat.alias("lat"))
+    return path_length(pts)
+
+
+def _sql_path_length() -> str:
+    from ..operators.geo_stats import path_length_sql
+
+    points = (f"SELECT user_id, ts, event_id, {_GEO_LON_SQL} AS lon, "
+              f"{_GEO_LAT_SQL} AS lat FROM events")
+    return path_length_sql(points)
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): deterministic quantized spherical
     k-means (integer centroid sums — order-free, bit-reproducible)
@@ -1677,6 +1724,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semdedup": q_semdedup,
     "range_join_events": q_range_join_events,
     "dbscan_events": q_dbscan_events,
+    "idw_surface": q_idw_surface,
+    "path_length": q_path_length,
     "issue_counts": q_issue_counts,
     "scalar_pipeline": q_scalar_pipeline,
     "cell_encode_counts": q_cell_encode_counts,
@@ -1742,6 +1791,8 @@ ORACLES: dict[str, str] = {
     "semdedup": _sql_semdedup(),
     "range_join_events": _sql_range_join_events(),
     "dbscan_events": _sql_dbscan_events(),
+    "idw_surface": _sql_idw_surface(),
+    "path_length": _sql_path_length(),
     "issue_counts": SQL_issue_counts,
     "scalar_pipeline": SQL_scalar_pipeline,
     "cell_encode_counts": SQL_cell_encode_counts,

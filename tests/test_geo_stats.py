@@ -1,0 +1,87 @@
+"""IDW interpolation + path length invariants."""
+import duckdb
+import math
+
+import pandas as pd
+
+from osmnightwatch_spark.operators import geo_stats as G
+
+
+def test_idw_hand_computed(spark):
+    """One probe, two neighbors at known distances: est equals the
+    hand-computed quantized ratio; the coincident point (dist 0) and
+    the out-of-radius point are excluded."""
+    probes = spark.createDataFrame(
+        pd.DataFrame({"probe_id": [1], "lon": [0.0], "lat": [0.0]}))
+    pts = spark.createDataFrame(pd.DataFrame({
+        "point_id": [10, 11, 12, 13],
+        "lon": [1.0, 0.0, 0.0, 50.0],
+        "lat": [0.0, 2.0, 0.0, 50.0],      # d=1, d=2, d=0 (excl), far (excl)
+        "value": [10.0, 20.0, 999.0, 999.0],
+    }))
+    got = G.idw_surface(probes, pts, radius=3.0).toPandas()
+    assert len(got) == 1 and got.n_nbrs[0] == 2
+    w1, w2 = math.floor(1e6 / 1.0), math.floor(1e6 / 4.0)
+    wv1, wv2 = math.floor(1e6 * 10.0 / 1.0), math.floor(1e6 * 20.0 / 4.0)
+    assert got.w_den[0] == w1 + w2 and got.wv_num[0] == wv1 + wv2
+    assert got.est[0] == (wv1 + wv2) / (w1 + w2)
+
+
+def test_idw_matches_twin_random(spark):
+    import numpy as np
+    rng = np.random.default_rng(11)
+    ppdf = pd.DataFrame({"probe_id": range(20),
+                         "lon": rng.uniform(-20, 20, 20),
+                         "lat": rng.uniform(-20, 20, 20)})
+    tpdf = pd.DataFrame({"point_id": range(300),
+                         "lon": rng.uniform(-25, 25, 300),
+                         "lat": rng.uniform(-25, 25, 300),
+                         "value": rng.normal(50, 10, 300)})
+    got = (G.idw_surface(spark.createDataFrame(ppdf),
+                         spark.createDataFrame(tpdf), radius=5.0)
+           .orderBy("probe_id").toPandas())
+    con = duckdb.connect()
+    con.register("pr", ppdf); con.register("pt", tpdf)
+    want = con.execute(G.idw_surface_sql(
+        "SELECT * FROM pr", "SELECT * FROM pt", radius=5.0)
+        + " ORDER BY probe_id").fetchdf()
+    pd.testing.assert_frame_equal(
+        got.astype({"probe_id": "int64", "n_nbrs": "int64",
+                    "w_den": "int64", "wv_num": "int64"}),
+        want.astype({"probe_id": "int64", "n_nbrs": "int64",
+                     "w_den": "int64", "wv_num": "int64"}),
+        check_names=False)
+
+
+def test_path_length_hand_and_ties(spark):
+    """Known two-hop path sums exactly; simultaneous fixes order by
+    the event_id tiebreak; single-point users emit 0."""
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    pdf = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 3, 3],
+        "ts": [t0, t0 + dt.timedelta(hours=1), t0 + dt.timedelta(hours=2),
+               t0, t0, t0],                      # user 3: tie on ts
+        "event_id": [1, 2, 3, 4, 6, 5],
+        "lon": [0.0, 1.0, 1.0, 9.0, 10.0, 0.0],
+        "lat": [0.0, 0.0, 1.0, 9.0, 0.0, 0.0],
+    })
+    got = (G.path_length(spark.createDataFrame(pdf))
+           .orderBy("user_id").toPandas().set_index("user_id"))
+    # user 1: 1 deg lon at equator + 1 deg lat; each 111.19 km
+    deg_mm = 111194926  # floor(radians(1)*R*1000) hops share this
+    assert got.loc[1, "n_points"] == 3
+    assert abs(got.loc[1, "path_mm"] - 2 * deg_mm) < 2
+    assert got.loc[2, "n_points"] == 1 and got.loc[2, "path_mm"] == 0
+    # user 3 ordered by event_id: (0,0) -> (10,0) = 10 deg, not 0
+    assert abs(got.loc[3, "path_mm"] - 10 * deg_mm) < 10
+
+    con = duckdb.connect(); con.register("ev", pdf)
+    want = con.execute(G.path_length_sql("SELECT * FROM ev")
+                       + " ORDER BY user_id").fetchdf()
+    pd.testing.assert_frame_equal(
+        got.reset_index().astype({"user_id": "int64", "n_points": "int64",
+                                  "path_mm": "int64"}),
+        want.astype({"user_id": "int64", "n_points": "int64",
+                     "path_mm": "int64"}),
+        check_names=False)
