@@ -354,93 +354,119 @@ def dedup_clusters(pairs: DataFrame, all_ids: DataFrame | None = None,
     output). ``all_ids`` optionally supplies the full document set so
     singletons appear as their own keeper.
 
-    Spark shape: iterative min-label propagation — each round joins
-    labels across the symmetric edge list and takes the per-node min
-    (one shuffle per round), stopping when a round changes nothing.
-    Rounds needed = graph diameter; LSH near-dup clusters are
-    band-bucket cliques with diameter ≈ 1-2, so this converges in 2-3
-    rounds (the O(log n) large-star/small-star alternation is the
-    upgrade path for adversarial long-chain graphs). Each round's
-    labels are eager-localCheckpointed so the plan stays O(1)-deep;
-    superseded rounds' checkpoint RDDs are explicitly unpersisted once
-    the next round lands (the final result's checkpoint is the one
-    artifact that outlives the call, freed by the ContextCleaner when
-    the caller drops it). Raises RuntimeError if ``max_iters`` rounds
-    pass without convergence — a silently partial labeling would
-    under-deduplicate downstream.
+    Algorithm: alternating **large-star / small-star** (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    each round rewires every node toward its neighborhood minimum
+    (large-star moves strictly-larger neighbors, small-star collapses
+    the rest), provably converging to per-component stars centered at
+    the component minimum in O(log² n) rounds REGARDLESS of graph
+    diameter. The earlier min-label + single pointer-jump engine
+    advanced the frontier only a constant number of hops per round —
+    O(diameter) rounds — which a supercritical DBSCAN core graph
+    (giant component, diameter in the hundreds at 10⁵ points) turned
+    from a theoretical nit into a RuntimeError. LSH band cliques
+    (diameter 1-2) converge in 2 rounds under either engine.
+
+    Spark shape per round: two groupBy-min aggregations + two joins
+    back to the (explicitly re-symmetrized) edge list, one
+    symmetric-difference count as the convergence probe. Edge state is
+    eager-localCheckpointed each round so plans stay O(1)-deep, and
+    superseded checkpoints are freed immediately
+    (``DataFrame.unpersist`` is a no-op on localCheckpoints). Raises
+    RuntimeError if ``max_iters`` rounds pass without convergence — a
+    silently partial labeling would under-deduplicate downstream.
     """
-    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    sym = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # canonical undirected edges (lo, hi), self-loops dropped
+    e = (
+        pairs.select(
+            F.least("id_a", "id_b").alias("lo"),
+            F.greatest("id_a", "id_b").alias("hi"))
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
-    # materialize the edge list ONCE: every iteration joins against it,
-    # and without the cut each round would recompute the full upstream
-    # pair plan (e.g. the whole minhash pipeline) plus ever-deeper
-    # lineage. This is the case where checkpointing IS right — the
-    # recompute is many exchanges deep and reused max_iters times
-    # (contrast minhash_lsh_pairs, where sig is 1 exchange deep).
-    sym = sym.localCheckpoint(eager=True)
-    nodes = sym.select(F.col("src").alias("node")).distinct()
-    if all_ids is not None:
-        nodes = nodes.unionByName(
-            all_ids.select(F.col(id_col).alias("node"))
-        ).distinct()
-    # labels is the per-round iteration state: checkpoint it each round
-    # (not persist) so the plan stays O(1)-deep — with persist alone,
-    # planning time grows linearly with rounds (measured: round 6 took
-    # 8 s vs 1-2 s for rounds 1-5, purely in the optimizer)
-    labels = nodes.select(
-        "node", F.col("node").alias("label")
-    ).localCheckpoint(eager=True)
-    changed = -1  # unknown until a round runs (max_iters <= 0 ⇒ raise)
+    # node set from the RAW pairs (a doc appearing only in a self-pair
+    # still gets a label), checkpointed once for the final singleton fill
+    nodes = (
+        pairs.select(F.col("id_a").alias("node"))
+        .unionByName(pairs.select(F.col("id_b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    converged = False
     for _ in range(max_iters):
-        # candidate label per node: min over own label and neighbors'
-        neigh = (
-            sym.join(labels.withColumnRenamed("node", "dst"), "dst")
-            .select(F.col("src").alias("node"), "label")
+        # ---- large-star: for each node u (over symmetric adjacency),
+        # m(u) = min(u, min neighbors); every neighbor v > u re-wires
+        # to (m(u), v). Keeps every edge's larger endpoint, so no
+        # component splits; strictly shrinks long chains.
+        sym = e.select(F.col("lo").alias("u"), F.col("hi").alias("v")).unionByName(
+            e.select(F.col("hi").alias("u"), F.col("lo").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
+        mins = mins.select("u", F.least("u", "_mn").alias("m"))
+        e1 = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
+            .where(F.col("lo") != F.col("hi"))
+            .distinct()
         )
-        stepped = (
-            labels.unionByName(neigh)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
+        # ---- small-star: key each edge by its larger endpoint u;
+        # m(u) = min of its smaller neighbors; connect u and all its
+        # smaller neighbors to m(u).
+        d = e1.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        smins = d.groupBy("u").agg(F.min("v").alias("m"))
+        e2 = (
+            d.join(smins, "u")
+            .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
+            .where(F.col("lo") != F.col("hi"))
+            .unionByName(smins.select(F.col("m").alias("lo"),
+                                      F.col("u").alias("hi")))
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        # pointer jumping (path doubling): also adopt the label OF my
-        # label — reachable-min distance doubles per round, so chains
-        # converge in O(log diameter) rounds instead of O(diameter)
-        jumped = stepped.join(
-            stepped.select(F.col("node").alias("label"),
-                           F.col("label").alias("_l2")),
-            "label", "left",
-        ).select(
-            "node",
-            F.least(F.col("label"), F.coalesce(F.col("_l2"), F.col("label")))
-            .alias("label"),
-        )
-        new_labels = jumped.localCheckpoint(eager=True)
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "_old"), "node")
-            .where(F.col("label") != F.col("_old"))
+        # convergence: edge set unchanged (symmetric difference empty)
+        diff = (
+            e.withColumn("_s", F.lit(1))
+            .unionByName(e2.withColumn("_s", F.lit(2)))
+            .groupBy("lo", "hi").agg(F.count_distinct("_s").alias("_c"))
+            .where(F.col("_c") < 2)
             .count()
         )
-        # the superseded round's checkpoint RDD is dead weight from
-        # here on — free its blocks now instead of waiting for GC
-        # (DataFrame.unpersist is a no-op on localCheckpoints)
-        free_local_checkpoint(labels)
-        labels = new_labels
-        if changed == 0:
+        free_local_checkpoint(e)
+        e = e2
+        if diff == 0:
+            converged = True
             break
-    else:
-        free_local_checkpoint(sym)
-        free_local_checkpoint(labels)  # last round's node-sized blocks
+    if not converged:
+        free_local_checkpoint(e)
+        free_local_checkpoint(nodes)
         raise RuntimeError(
-            f"dedup_clusters did not converge in {max_iters} rounds "
-            f"({changed} labels still changing) — raise max_iters; a "
-            "partial labeling would silently under-deduplicate"
+            f"dedup_clusters did not converge in {max_iters} rounds — "
+            "raise max_iters; a partial labeling would silently "
+            "under-deduplicate"
         )
-    free_local_checkpoint(sym)
-    return labels.select(
+    # converged state is a star per component: (component_min, member)
+    labels = e.select(F.col("hi").alias("node"), F.col("lo").alias("label"))
+    centers_and_singletons = nodes.join(
+        e.select(F.col("hi").alias("node")), "node", "left_anti"
+    ).select("node", F.col("node").alias("label"))
+    labels = labels.unionByName(centers_and_singletons)
+    if all_ids is not None:
+        extra = (
+            all_ids.select(F.col(id_col).alias("node"))
+            .join(nodes, "node", "left_anti")
+            .select("node", F.col("node").alias("label"))
+        )
+        labels = labels.unionByName(extra)
+    # self-contained result: checkpoint the (node-sized) label table so
+    # the e/nodes round state can be freed now instead of leaking until
+    # the caller drops the result
+    out = labels.select(
         F.col("node").alias(id_col), F.col("label").alias("keeper_id")
-    )
+    ).localCheckpoint(eager=True)
+    free_local_checkpoint(e)
+    free_local_checkpoint(nodes)
+    return out
 
 
 def dedup_clusters_sql(pairs_sql: str, id_col: str = "doc_id",

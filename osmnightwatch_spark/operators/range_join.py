@@ -38,7 +38,7 @@ operator unchanged.
 DBSCAN (Ester et al. 1996) on top: neighbor counts from the self
 range join, core points = ``|N_eps(p)| ≥ min_pts`` (self inclusive),
 clusters = connected components of the core-core eps-graph via the
-dedup pointer-jumping CC (O(log diameter) rounds), border points
+dedup star-contraction CC (O(log² n) rounds, diameter-free), border points
 attach to their minimum-labeled core neighbor's cluster (pinned —
 textbook DBSCAN leaves border assignment order-dependent; minimum
 makes it deterministic and oracle-checkable), everything else noise

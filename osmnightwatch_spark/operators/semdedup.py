@@ -108,18 +108,41 @@ def _cnorm(csum: list[int]) -> float:
 # ---------------------------------------------------------------------------
 
 def kmeans_assign(embeddings: DataFrame, k: int, iters: int, dims: int,
-                  id_col: str = "vec_id", vec: str = "embedding") -> DataFrame:
+                  id_col: str = "vec_id", vec: str = "embedding",
+                  assign: str = "expr") -> DataFrame:
     """Cluster by spherical k-means over quantized embeddings; returns
     ``(id_col, cluster, sim)`` where ``sim`` is the cosine of the row
     against its final centroid direction (double, unrounded).
 
     Init: the quantized vectors of the ``k`` smallest ids (seed rows —
     deterministic, no RNG). Each round scores every row against every
-    centroid (k·dims codegen mul-adds), argmax with (score desc, cid
-    asc) ties, then re-sums members per cluster in exact integers.
-    Empty clusters drop out (both engines agree: GROUP BY emits only
-    non-empty groups).
+    centroid, argmax with (score desc, cid asc) ties, then re-sums
+    members per cluster in exact integers. Empty clusters drop out
+    (both engines agree: GROUP BY emits only non-empty groups).
+
+    ``assign`` picks the scoring strategy — both produce BIT-IDENTICAL
+    assignments (same integer dot, same double sequence, same ties;
+    pinned by test):
+
+    * ``"expr"`` — one ``array_max`` over k inline struct scores
+      (k·dims codegen mul-adds per row, centroids baked in as
+      literals). Zero extra shuffle, but the plan tree grows with
+      k·dims — right for k ≲ 100.
+    * ``"join"`` — centroids become a broadcast k-row DataFrame
+      (cid, csum array, cnorm double); scoring is a broadcast
+      nested-loop join + ``zip_with`` fold, argmax via a
+      ``groupBy(_id).agg(max(struct(s, -cid)))`` map-side-combining
+      agg. Plan size is O(1) in k — the 100 TB path where k scales
+      with the corpus (SemDeDup needs per-cluster occupancy bounded,
+      so k ∝ N; thousands of clusters would blow the expression tree
+      but are a non-event as a broadcast relation).
+
+    Exactness bound (both paths): the bigint dot needs
+    ``|q|·|csum| ≤ 1e6 · (1e6·m) < 2^63/dims`` per term-sum —
+    safe for cluster sizes ``m`` into the millions.
     """
+    if assign not in ("expr", "join"):
+        raise ValueError(f"assign must be 'expr' or 'join', got {assign!r}")
     q = embeddings.select(
         F.col(id_col).alias("_id"), _quantize_col(vec, dims).alias("qv")
     ).persist()
@@ -131,23 +154,8 @@ def kmeans_assign(embeddings: DataFrame, k: int, iters: int, dims: int,
 
         assigned = None
         for it in range(iters + 1):  # final pass scores against last sums
-            # array_max over (score, -cid) structs: linear-size expression
-            # (a nested when-chain would replicate subtrees exponentially
-            # and stall codegen), ties → lowest cid.
-            scored = F.array_max(F.array(*[
-                F.struct(
-                    (_qdot_cols("qv", csum).cast("double") / F.lit(_cnorm(csum))
-                     ).alias("s"),
-                    F.lit(-cid).alias("ncid"),
-                )
-                for cid, csum in cents.items()
-            ]))
-            assigned = q.select(
-                "_id", "qv", scored.alias("_best")
-            ).select(
-                "_id", "qv",
-                (-F.col("_best")["ncid"]).alias("cluster"),
-                F.col("_best")["s"].alias("_qsim"))
+            assigned = (_assign_expr if assign == "expr" else _assign_join)(
+                q, cents)
             if it == iters:
                 break
             sums = (
@@ -165,6 +173,54 @@ def kmeans_assign(embeddings: DataFrame, k: int, iters: int, dims: int,
             (F.col("_qsim") / qn).alias("sim"))
     finally:
         q.unpersist()
+
+
+def _assign_expr(q: DataFrame, cents: dict[int, list[int]]) -> DataFrame:
+    """k inline struct scores; array_max keeps the expression linear in
+    k (a when-chain would replicate subtrees exponentially), ties →
+    lowest cid via the negated-cid struct field."""
+    scored = F.array_max(F.array(*[
+        F.struct(
+            (_qdot_cols("qv", csum).cast("double") / F.lit(_cnorm(csum))
+             ).alias("s"),
+            F.lit(-cid).alias("ncid"),
+        )
+        for cid, csum in cents.items()
+    ]))
+    return q.select("_id", "qv", scored.alias("_best")).select(
+        "_id", "qv",
+        (-F.col("_best")["ncid"]).cast("long").alias("cluster"),
+        F.col("_best")["s"].alias("_qsim"))
+
+
+def _assign_join(q: DataFrame, cents: dict[int, list[int]]) -> DataFrame:
+    """Broadcast the k centroids as rows; exact bigint dot via a
+    zip_with/aggregate fold (same left-to-right sequence as the
+    unrolled expression), argmax via max(struct) with map-side
+    combine. ``first(qv)`` is safe: every row in an ``_id`` group
+    carries the identical qv."""
+    spark = q.sparkSession
+    cdf = spark.createDataFrame(
+        [(int(cid), [int(x) for x in csum], _cnorm(csum))
+         for cid, csum in cents.items()],
+        "cid long, csum array<long>, cnorm double",
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "csum", lambda a, b: a * b),
+        F.lit(0).cast("long"), lambda acc, v: acc + v,
+    )
+    scored = q.join(F.broadcast(cdf)).select(
+        "_id", "qv",
+        F.struct((dot.cast("double") / F.col("cnorm")).alias("s"),
+                 (-F.col("cid")).alias("ncid")).alias("_sc"),
+    )
+    return (
+        scored.groupBy("_id")
+        .agg(F.max("_sc").alias("_best"), F.first("qv").alias("qv"))
+        .select("_id", "qv",
+                (-F.col("_best")["ncid"]).alias("cluster"),
+                F.col("_best")["s"].alias("_qsim"))
+    )
 
 
 def kmeans_sql(table: str, k: int, iters: int, dims: int,
@@ -214,7 +270,8 @@ def _assign_cte(name: str, cent: str, dims: int) -> str:
 # ---------------------------------------------------------------------------
 
 def semdedup(embeddings: DataFrame, k: int, iters: int, dims: int, tau: float,
-             id_col: str = "vec_id", vec: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec: str = "embedding",
+             assign: str = "expr") -> DataFrame:
     """``(id_col, cluster, sim_r, kept)`` — ``kept = false`` for every
     row that has a same-cluster neighbor with pair-cosine ≥ ``tau``
     where the *neighbor* sits farther from the centroid (lower sim,
@@ -223,7 +280,7 @@ def semdedup(embeddings: DataFrame, k: int, iters: int, dims: int, tau: float,
     only — decisions use the unrounded exact-int-derived value)."""
     q = embeddings.select(
         F.col(id_col).alias("_id"), _quantize_col(vec, dims).alias("qv"))
-    a = kmeans_assign(embeddings, k, iters, dims, id_col, vec).join(
+    a = kmeans_assign(embeddings, k, iters, dims, id_col, vec, assign).join(
         q.withColumnRenamed("_id", id_col), id_col)
     left = a.select(F.col(id_col).alias("ida"), F.col("cluster"),
                     F.col("sim").alias("sa"), F.col("qv").alias("qa"))

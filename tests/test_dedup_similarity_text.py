@@ -690,3 +690,49 @@ def test_semdedup_keep_outlier_and_determinism(spark):
         got.astype({"kept": bool, "cluster": "int64", "vec_id": "int64"}),
         want.astype({"kept": bool, "cluster": "int64", "vec_id": "int64"}),
         check_names=False)
+
+
+def test_semdedup_join_assignment_bit_identical(spark):
+    """The broadcast-join scoring path (the unbounded-k 100 TB route)
+    must reproduce the expression path bit-for-bit: same integer dot,
+    same double sequence, same (score desc, cid asc) ties."""
+    from osmnightwatch_spark.operators import semdedup as SD
+
+    rng = np.random.default_rng(23)
+    pdf = pd.DataFrame({
+        "vec_id": range(200),
+        "embedding": [list(map(float, r))
+                      for r in rng.normal(size=(200, 12))],
+    })
+    df = spark.createDataFrame(pdf)
+    a = (SD.kmeans_assign(df, k=7, iters=2, dims=12, assign="expr")
+         .orderBy("vec_id").toPandas())
+    b = (SD.kmeans_assign(df, k=7, iters=2, dims=12, assign="join")
+         .orderBy("vec_id").toPandas())
+    pd.testing.assert_frame_equal(a, b)
+    g1 = (SD.semdedup(df, k=7, iters=2, dims=12, tau=0.4, assign="join")
+          .orderBy("vec_id").toPandas())
+    g2 = (SD.semdedup(df, k=7, iters=2, dims=12, tau=0.4, assign="expr")
+          .orderBy("vec_id").toPandas())
+    pd.testing.assert_frame_equal(g1, g2)
+
+
+def test_dedup_clusters_long_chain(spark):
+    """A 3000-node path graph (diameter 2999): the large-star /
+    small-star engine must converge within the default 20 rounds
+    (O(log^2 n) — the prior min-label + single-jump engine advanced a
+    constant number of hops per round and provably could not)."""
+    pdf = pd.DataFrame({"id_a": range(2999), "id_b": range(1, 3000)})
+    lab = (D.dedup_clusters(spark.createDataFrame(pdf))
+           .toPandas())
+    assert len(lab) == 3000 and (lab.keeper_id == 0).all()
+
+
+def test_dedup_clusters_self_pair_and_isolated(spark):
+    """Self-pairs label themselves; all_ids singletons appear."""
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1, 5], "id_b": [2, 5]}))
+    allv = spark.createDataFrame(pd.DataFrame({"doc_id": [1, 2, 5, 9]}))
+    lab = (D.dedup_clusters(pairs, all_ids=allv)
+           .toPandas().set_index("doc_id").keeper_id)
+    assert lab[1] == 1 and lab[2] == 1 and lab[5] == 5 and lab[9] == 9
