@@ -257,3 +257,52 @@ SELECT d.{id_col}, d.{group}, s.src_docs,
 FROM {table} d JOIN s USING ({group})
 WHERE s.m >= {min_mean_chars!r}
 """.strip()
+
+
+def weighted_sample(df: DataFrame, n: int, weight_col: str,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Weighted sampling WITHOUT replacement of ``n`` rows (A-ES,
+    Efraimidis & Spirakis 2006): each row gets the key
+    ``ln(u) / w`` with a deterministic hash-uniform
+    ``u = (md5_24(id) + 0.5) / 16⁶ ∈ (0,1)``; the top ``n`` keys
+    (descending, id tiebreak) are exactly a weight-proportional
+    sample without replacement. Rows with ``w ≤ 0`` are excluded
+    (zero weight = never sampled). Output = input columns + ``skey``.
+
+    Same determinism contract as :func:`stratified_sample`: a pure
+    function of the id — rerun/resume/repartition-stable, and single
+    rows can be audited ("why was this doc picked?") by recomputing
+    their key. ``ln(u)/w`` is the numerically-stable form of the
+    paper's ``u^(1/w)`` (monotone-equivalent since ln u < 0).
+
+    Scale shape: NO shuffle — ``orderBy().limit(n)`` compiles to
+    TakeOrderedAndProject (per-partition top-n, then a driver merge of
+    n·partitions rows), the right plan for top-k at any corpus size.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10)
+        .cast("double") + 0.5
+    ) / float(16 ** 6)
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("skey", key)
+        .orderBy(F.col("skey").desc(), F.col(id_col))
+        .limit(n)
+    )
+
+
+def weighted_sample_sql(table: str, n: int, weight_col: str,
+                        id_col: str = "doc_id", select: str = "*") -> str:
+    """DuckDB twin of :func:`weighted_sample` (same hash-uniform, same
+    key expression, same tiebreak)."""
+    u = (f"(CAST('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 6) "
+         f"AS BIGINT) + 0.5) / {float(16 ** 6)!r}")
+    key = f"LN({u}) / CAST({weight_col} AS DOUBLE)"
+    return (
+        f"SELECT {select}, {key} AS skey FROM {table} "
+        f"WHERE {weight_col} > 0 "
+        f"ORDER BY skey DESC, {id_col} LIMIT {int(n)}"
+    )

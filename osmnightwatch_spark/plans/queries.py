@@ -1564,7 +1564,7 @@ def _sql_range_join_events() -> str:
 def q_dbscan_events(spark, sf_dir):
     """Distributed DBSCAN (eps=2.0 deg, min_pts=4) over event points:
     eps-neighbor counting via the self range join, core-core connected
-    components via pointer-jumping min-label CC, min-core-neighbor
+    components via star-contraction CC, min-core-neighbor
     border attachment (deterministic where textbook DBSCAN is
     scan-order-dependent), NULL cluster = noise."""
     from ..operators.range_join import dbscan
@@ -1624,6 +1624,50 @@ def _sql_path_length() -> str:
     points = (f"SELECT user_id, ts, event_id, {_GEO_LON_SQL} AS lon, "
               f"{_GEO_LAT_SQL} AS lat FROM events")
     return path_length_sql(points)
+
+
+def q_triangle_count(spark, sf_dir):
+    """Exact triangle count of the MinHash near-dup pair graph via
+    degree-ordered orientation (each triangle counted at its min-order
+    vertex; out-degree bounded O(sqrt m) so a hub doc can't inflate
+    the wedge join). Near-dup band buckets are cliques, so this graph
+    is triangle-rich — the clique-mass diagnostic a dedup pipeline
+    reads before choosing cluster-collapse policy. (The synthetic
+    events point lattice has zero triangles at radius 2 — structured
+    coordinates, not a bug — so the spatial graph is the wrong
+    demo input; covered instead by the random-graph pytest.)"""
+    from ..operators.graph import triangle_count
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = D.minhash_lsh_pairs(d, "doc_id", bands=8)
+    return triangle_count(pairs.select("id_a", "id_b"))
+
+
+def _sql_triangle_count() -> str:
+    from ..operators.graph import triangle_count_sql
+
+    return triangle_count_sql(
+        f"SELECT id_a, id_b FROM ({_sql_minhash_pairs()})")
+
+
+def q_weighted_sample(spark, sf_dir):
+    """A-ES weighted sampling without replacement: 100 documents drawn
+    proportional to n_chars (token-budget-weighted corpus draw),
+    deterministic in doc_id alone."""
+    from ..operators.sampling import weighted_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return weighted_sample(
+        d.select("doc_id", "source", "n_chars"), n=100,
+        weight_col="n_chars")
+
+
+def _sql_weighted_sample() -> str:
+    from ..operators.sampling import weighted_sample_sql
+
+    return weighted_sample_sql(
+        "(SELECT doc_id, source, n_chars FROM documents)", n=100,
+        weight_col="n_chars")
 
 
 def q_semdedup(spark, sf_dir):
@@ -1726,6 +1770,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dbscan_events": q_dbscan_events,
     "idw_surface": q_idw_surface,
     "path_length": q_path_length,
+    "triangle_count": q_triangle_count,
+    "weighted_sample": q_weighted_sample,
     "issue_counts": q_issue_counts,
     "scalar_pipeline": q_scalar_pipeline,
     "cell_encode_counts": q_cell_encode_counts,
@@ -1793,6 +1839,8 @@ ORACLES: dict[str, str] = {
     "dbscan_events": _sql_dbscan_events(),
     "idw_surface": _sql_idw_surface(),
     "path_length": _sql_path_length(),
+    "triangle_count": _sql_triangle_count(),
+    "weighted_sample": _sql_weighted_sample(),
     "issue_counts": SQL_issue_counts,
     "scalar_pipeline": SQL_scalar_pipeline,
     "cell_encode_counts": SQL_cell_encode_counts,
