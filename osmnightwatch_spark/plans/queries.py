@@ -1670,6 +1670,22 @@ def _sql_weighted_sample() -> str:
         weight_col="n_chars")
 
 
+def q_bm25(spark, sf_dir):
+    """BM25 top-20 for a fixed 3-term query over the documents corpus
+    (Lucene idf variant; exact-integer corpus stats, sorted-term
+    expression order — see operators/retrieval.py)."""
+    from ..operators.retrieval import bm25_topk
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_topk(d, "hash join customer", k=20)
+
+
+def _sql_bm25() -> str:
+    from ..operators.retrieval import bm25_topk_sql
+
+    return bm25_topk_sql("documents", "hash join customer", k=20)
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): deterministic quantized spherical
     k-means (integer centroid sums — order-free, bit-reproducible)
@@ -1772,6 +1788,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "path_length": q_path_length,
     "triangle_count": q_triangle_count,
     "weighted_sample": q_weighted_sample,
+    "bm25_topk": q_bm25,
     "issue_counts": q_issue_counts,
     "scalar_pipeline": q_scalar_pipeline,
     "cell_encode_counts": q_cell_encode_counts,
@@ -1841,6 +1858,7 @@ ORACLES: dict[str, str] = {
     "path_length": _sql_path_length(),
     "triangle_count": _sql_triangle_count(),
     "weighted_sample": _sql_weighted_sample(),
+    "bm25_topk": _sql_bm25(),
     "issue_counts": SQL_issue_counts,
     "scalar_pipeline": SQL_scalar_pipeline,
     "cell_encode_counts": SQL_cell_encode_counts,
