@@ -1686,6 +1686,23 @@ def _sql_bm25() -> str:
     return bm25_topk_sql("documents", "hash join customer", k=20)
 
 
+def q_hll_sketch(spark, sf_dir):
+    """HyperLogLog register table for distinct user_id (p=10) — the
+    mergeable one-pass distinct sketch; the register table itself is
+    the deterministic, engine-comparable artifact (estimate is a pure
+    function of it, see operators/sketches.hll_estimate)."""
+    from ..operators.sketches import hll_registers
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hll_registers(ev, "user_id", p=10)
+
+
+def _sql_hll_sketch() -> str:
+    from ..operators.sketches import hll_registers_sql
+
+    return hll_registers_sql("events", "user_id", p=10)
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): deterministic quantized spherical
     k-means (integer centroid sums — order-free, bit-reproducible)
@@ -1789,6 +1806,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "triangle_count": q_triangle_count,
     "weighted_sample": q_weighted_sample,
     "bm25_topk": q_bm25,
+    "hll_sketch": q_hll_sketch,
     "issue_counts": q_issue_counts,
     "scalar_pipeline": q_scalar_pipeline,
     "cell_encode_counts": q_cell_encode_counts,
@@ -1859,6 +1877,7 @@ ORACLES: dict[str, str] = {
     "triangle_count": _sql_triangle_count(),
     "weighted_sample": _sql_weighted_sample(),
     "bm25_topk": _sql_bm25(),
+    "hll_sketch": _sql_hll_sketch(),
     "issue_counts": SQL_issue_counts,
     "scalar_pipeline": SQL_scalar_pipeline,
     "cell_encode_counts": SQL_cell_encode_counts,
