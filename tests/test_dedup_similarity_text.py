@@ -710,6 +710,9 @@ def test_semdedup_join_assignment_bit_identical(spark):
     b = (SD.kmeans_assign(df, k=7, iters=2, dims=12, assign="join")
          .orderBy("vec_id").toPandas())
     pd.testing.assert_frame_equal(a, b)
+    c = (SD.kmeans_assign(df.repartition(5), k=7, iters=2, dims=12,
+                          assign="numpy").orderBy("vec_id").toPandas())
+    pd.testing.assert_frame_equal(a, c)
     g1 = (SD.semdedup(df, k=7, iters=2, dims=12, tau=0.4, assign="join")
           .orderBy("vec_id").toPandas())
     g2 = (SD.semdedup(df, k=7, iters=2, dims=12, tau=0.4, assign="expr")
