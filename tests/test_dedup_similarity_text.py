@@ -718,6 +718,10 @@ def test_semdedup_join_assignment_bit_identical(spark):
     g2 = (SD.semdedup(df, k=7, iters=2, dims=12, tau=0.4, assign="expr")
           .orderBy("vec_id").toPandas())
     pd.testing.assert_frame_equal(g1, g2)
+    g3 = (SD.semdedup(df.repartition(3), k=7, iters=2, dims=12, tau=0.4,
+                      assign="numpy", prune="numpy")
+          .orderBy("vec_id").toPandas())
+    pd.testing.assert_frame_equal(g1, g3)
 
 
 def test_dedup_clusters_long_chain(spark):

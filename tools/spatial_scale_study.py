@@ -1,5 +1,5 @@
 """Scale study for the session-5 operators: range join, DBSCAN,
-SemDeDup (join-assignment path).
+SemDeDup (numpy assign + prune paths).
 
 Everything is generated INSIDE Spark (native projections of
 spark.range — no Python loop, no driver data) so the study measures
@@ -56,8 +56,8 @@ def synth_vecs(spark, n: int, dims: int):
 def main():
     n_pts = int(os.environ.get("N_POINTS", 2_000_000))
     n_dbscan = int(os.environ.get("N_DBSCAN", 1_000_000))
-    n_vecs = int(os.environ.get("N_VECS", 200_000))
-    k_clusters = int(os.environ.get("K_CLUSTERS", 512))
+    n_vecs = int(os.environ.get("N_VECS", 1_000_000))
+    k_clusters = int(os.environ.get("K_CLUSTERS", 2048))
     spark = get_spark("spatial-scale", cores=int(os.environ.get("CORES", 32)))
     out = {"load_at_start": os.getloadavg()[0]}
 
@@ -101,12 +101,12 @@ def main():
     assert 0 < agg.cores < n_dbscan and agg.clusters > 0
     pts2.unpersist()
 
-    # --- SemDeDup via the broadcast-join assignment (k >> expr path) --
+    # --- SemDeDup via the matmul paths (k scales with the corpus) -----
     vecs = synth_vecs(spark, n_vecs, dims=16).persist()
     vecs.count()
     t0 = time.time()
     sd = semdedup(vecs, k=k_clusters, iters=2, dims=16, tau=0.9,
-                  assign="join")
+                  assign="numpy", prune="numpy")
     sagg = sd.agg(F.count("*").alias("n"),
                   F.sum((~F.col("kept")).cast("long")).alias("dropped"),
                   F.countDistinct("cluster").alias("clusters")).collect()[0]
