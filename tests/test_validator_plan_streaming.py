@@ -451,3 +451,56 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     assert sorted(got.text) == ["alpha", "beta", "gamma"]
     # the keeper of each text is its first arrival
     assert set(got.doc_id) <= {1, 2, 5} or len(got) == 3
+
+
+def test_range_join_plan_one_shuffle_no_python(spark):
+    """range_join's plan: an equi-join on the cell key (never a
+    cartesian/nested-loop), at most one exchange per side, and zero
+    Python evaluation — the covering is all codegen."""
+    import pandas as pd
+
+    from osmnightwatch_spark.operators.range_join import range_join
+
+    pdf = pd.DataFrame({"id": range(200), "lon": [float(i % 50) for i in range(200)],
+                        "lat": [float(i % 37) for i in range(200)]})
+    df = spark.createDataFrame(pdf)
+    out = range_join(df.withColumnRenamed("id", "left_id"),
+                     df.withColumnRenamed("id", "right_id"), 2.0)
+    plan = _plan_of(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan
+    assert plan.count("Exchange") <= 2  # one hash exchange per side max
+
+
+def test_topn_plans_use_take_ordered(spark):
+    """weighted_sample and bm25_topk compile to TakeOrderedAndProject
+    (per-partition top-n + driver merge), never a global Sort — the
+    plan property that makes top-k safe at any corpus size."""
+    import pandas as pd
+
+    from osmnightwatch_spark.operators.retrieval import bm25_topk
+    from osmnightwatch_spark.operators.sampling import weighted_sample
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(300),
+        "text": [f"tok{i % 17} filler words here" for i in range(300)],
+        "w": [float(i + 1) for i in range(300)],
+    }))
+    p1 = _plan_of(weighted_sample(docs, 10, "w"))
+    assert "TakeOrderedAndProject" in p1 and "Exchange" not in p1
+    p2 = _plan_of(bm25_topk(docs, "tok1 filler", k=5))
+    assert "TakeOrderedAndProject" in p2
+
+
+def test_hll_plan_single_partial_final_agg(spark):
+    """The HLL sketch is ONE map-side-combining aggregation: exactly
+    one exchange (partial → final HashAggregate), no window, no join."""
+    import pandas as pd
+
+    from osmnightwatch_spark.operators.sketches import hll_registers
+
+    df = spark.createDataFrame(pd.DataFrame({"v": [f"x{i}" for i in range(500)]}))
+    plan = _plan_of(hll_registers(df, "v", p=8))
+    assert plan.count("Exchange") == 1
+    assert "HashAggregate" in plan and "Join" not in plan and "Window" not in plan
