@@ -1703,6 +1703,27 @@ def _sql_hll_sketch() -> str:
     return hll_registers_sql("events", "user_id", p=10)
 
 
+def q_corpus_cube(spark, sf_dir):
+    """Multi-dimensional rollup: GROUP BY CUBE(source, lang) — all four
+    aggregation granularities (source×lang, source, lang, grand total)
+    in ONE pass with partial-agg reuse; Catalyst expands the cube with
+    a single Expand node, not four scans. NULL dimension = subtotal
+    row, mirrored exactly by DuckDB's CUBE."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.cube("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").alias("sum_chars"))
+    )
+
+
+SQL_corpus_cube = (
+    "SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "SUM(n_chars) AS sum_chars "
+    "FROM documents GROUP BY CUBE(source, lang)"
+)
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): deterministic quantized spherical
     k-means (integer centroid sums — order-free, bit-reproducible)
@@ -1807,6 +1828,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample": q_weighted_sample,
     "bm25_topk": q_bm25,
     "hll_sketch": q_hll_sketch,
+    "corpus_cube": q_corpus_cube,
     "issue_counts": q_issue_counts,
     "scalar_pipeline": q_scalar_pipeline,
     "cell_encode_counts": q_cell_encode_counts,
@@ -1878,6 +1900,7 @@ ORACLES: dict[str, str] = {
     "weighted_sample": _sql_weighted_sample(),
     "bm25_topk": _sql_bm25(),
     "hll_sketch": _sql_hll_sketch(),
+    "corpus_cube": SQL_corpus_cube,
     "issue_counts": SQL_issue_counts,
     "scalar_pipeline": SQL_scalar_pipeline,
     "cell_encode_counts": SQL_cell_encode_counts,
