@@ -1724,6 +1724,28 @@ SQL_corpus_cube = (
 )
 
 
+def q_snap_simplify(spark, sf_dir):
+    """Grid-snap polyline simplification (slippy-map zoom reduction)
+    of per-user event tracks at res 5: snap to cell centers, collapse
+    consecutive same-cell vertices, re-sequence. One window pass."""
+    from ..operators.simplify import snap_simplify
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lon, lat = _geo_lonlat(F.col("event_id"))
+    pts = ev.select(F.col("user_id").alias("way_id"),
+                    F.col("event_id").alias("seq"),
+                    lon.alias("lon"), lat.alias("lat"))
+    return snap_simplify(pts, res=5)
+
+
+def _sql_snap_simplify() -> str:
+    from ..operators.simplify import snap_simplify_sql
+
+    pts = (f"SELECT user_id AS way_id, event_id AS seq, "
+           f"{_GEO_LON_SQL} AS lon, {_GEO_LAT_SQL} AS lat FROM events")
+    return snap_simplify_sql(pts, res=5)
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): deterministic quantized spherical
     k-means (integer centroid sums — order-free, bit-reproducible)
@@ -1829,6 +1851,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25,
     "hll_sketch": q_hll_sketch,
     "corpus_cube": q_corpus_cube,
+    "snap_simplify": q_snap_simplify,
     "issue_counts": q_issue_counts,
     "scalar_pipeline": q_scalar_pipeline,
     "cell_encode_counts": q_cell_encode_counts,
@@ -1901,6 +1924,7 @@ ORACLES: dict[str, str] = {
     "bm25_topk": _sql_bm25(),
     "hll_sketch": _sql_hll_sketch(),
     "corpus_cube": SQL_corpus_cube,
+    "snap_simplify": _sql_snap_simplify(),
     "issue_counts": SQL_issue_counts,
     "scalar_pipeline": SQL_scalar_pipeline,
     "cell_encode_counts": SQL_cell_encode_counts,
