@@ -148,3 +148,87 @@ def path_length_sql(points_sql: str, entity: str = "user_id",
         f"CAST(FLOOR({hav} * {MM!r}) AS BIGINT) END), 0) AS path_mm "
         f"FROM hops GROUP BY {entity}"
     )
+
+
+def stay_points(points: DataFrame, res: int = 6, gap_s: int = 3600,
+                min_stay_s: int = 1800, entity: str = "user_id",
+                ts: str = "ts", tiebreak: str = "event_id",
+                lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """Stay-point detection (Li et al. 2008, cell-quantized variant):
+    consecutive fixes of an entity in the SAME grid cell with
+    inter-fix gaps ≤ ``gap_s`` form a visit; visits lasting ≥
+    ``min_stay_s`` are stay points → ``(entity, cell, enter_ts,
+    exit_ts, n_events)``.
+
+    The classic algorithm is a sequential two-pointer scan; quantizing
+    "same place" to a grid cell turns it into a pure window pipeline —
+    ``lag`` flags visit starts (cell change OR gap), a running SUM of
+    flags numbers the visits, one groupBy aggregates them. Both
+    engines share every step exactly (integer epoch-second gaps,
+    (ts, tiebreak) ordering), so the output is oracle-hashable.
+
+    Scale shape: one hash shuffle on the entity + ordered windows
+    within it, then a groupBy on (entity, visit) — the same skew unit
+    as :func:`path_length` (one hot entity), capped upstream.
+    """
+    from ..functions import cells as C
+
+    w = Window.partitionBy(entity).orderBy(ts, tiebreak)
+    cells = points.select(
+        F.col(entity), F.col(ts), F.col(tiebreak),
+        C.cell_col(F.col(lon), F.col(lat), res).alias("_cell"),
+        F.unix_timestamp(F.col(ts)).alias("_t"),
+    )
+    flagged = cells.select(
+        entity, ts, "_cell", "_t",
+        F.when(
+            F.lag("_cell").over(w).isNull()
+            | (F.lag("_cell").over(w) != F.col("_cell"))
+            | (F.col("_t") - F.lag("_t").over(w) > gap_s),
+            F.lit(1)).otherwise(F.lit(0)).alias("_new"),
+        F.col(tiebreak),
+    )
+    wv = Window.partitionBy(entity).orderBy(ts, tiebreak)
+    visits = flagged.withColumn(
+        "_visit", F.sum("_new").over(
+            wv.rowsBetween(Window.unboundedPreceding, 0)))
+    agg = (
+        visits.groupBy(entity, "_visit")
+        .agg(F.first("_cell").alias("cell"),
+             F.min(ts).alias("enter_ts"), F.max(ts).alias("exit_ts"),
+             F.min("_t").alias("_t0"), F.max("_t").alias("_t1"),
+             F.count(F.lit(1)).alias("n_events"))
+        .where(F.col("_t1") - F.col("_t0") >= min_stay_s)
+    )
+    return agg.select(entity, "cell", "enter_ts", "exit_ts", "n_events")
+
+
+def stay_points_sql(points_sql: str, res: int = 6, gap_s: int = 3600,
+                    min_stay_s: int = 1800, entity: str = "user_id",
+                    ts: str = "ts", tiebreak: str = "event_id",
+                    lon: str = "lon", lat: str = "lat") -> str:
+    """DuckDB twin of :func:`stay_points` (same cell encode, same
+    epoch-second gaps, same visit numbering)."""
+    from ..functions import cells as C
+
+    cell = C.cell_sql(lon, lat, res)
+    return f"""
+WITH c AS (
+  SELECT {entity}, {ts}, {tiebreak}, {cell} AS _cell,
+         CAST(FLOOR(epoch({ts})) AS BIGINT) AS _t
+  FROM ({points_sql})),
+f AS (
+  SELECT *, CASE WHEN lag(_cell) OVER w IS NULL
+                   OR lag(_cell) OVER w <> _cell
+                   OR _t - lag(_t) OVER w > {int(gap_s)}
+            THEN 1 ELSE 0 END AS _new
+  FROM c WINDOW w AS (PARTITION BY {entity} ORDER BY {ts}, {tiebreak})),
+v AS (
+  SELECT *, SUM(_new) OVER (PARTITION BY {entity} ORDER BY {ts}, {tiebreak}
+                            ROWS UNBOUNDED PRECEDING) AS _visit
+  FROM f)
+SELECT {entity}, MIN(_cell) AS cell, MIN({ts}) AS enter_ts,
+       MAX({ts}) AS exit_ts, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM v GROUP BY {entity}, _visit
+HAVING MAX(_t) - MIN(_t) >= {int(min_stay_s)}
+""".strip()

@@ -1746,6 +1746,36 @@ def _sql_snap_simplify() -> str:
     return snap_simplify_sql(pts, res=5)
 
 
+def q_stay_points(spark, sf_dir):
+    """Stay-point detection over per-user event tracks: same-cell
+    (res 6) consecutive fixes with <= 1h gaps form a visit; visits
+    >= 30 min are stay points. Pure window pipeline (lag flags +
+    running-sum visit ids), identical on both engines."""
+    from ..operators.geo_stats import stay_points
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # slow-moving track: location is a pure function of (user, day) --
+    # users sit somewhere for a day then move (the raw event_id spread
+    # never revisits a cell, which would make stay points vacuous)
+    loc = F.col("user_id") * F.lit(1000003) + F.floor(
+        F.unix_timestamp("ts") / F.lit(86400))
+    lon, lat = _geo_lonlat(loc)
+    pts = ev.select("user_id", "ts", "event_id",
+                    lon.alias("lon"), lat.alias("lat"))
+    return stay_points(pts, gap_s=43200, min_stay_s=14400)
+
+
+def _sql_stay_points() -> str:
+    from ..operators.geo_stats import stay_points_sql
+
+    loc = ("(user_id * 1000003 + "
+           "CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 86400) AS BIGINT))")
+    lon, lat = _geo_lonlat_sql(loc)
+    pts = (f"SELECT user_id, ts, event_id, {lon} AS lon, "
+           f"{lat} AS lat FROM events")
+    return stay_points_sql(pts, gap_s=43200, min_stay_s=14400)
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): deterministic quantized spherical
     k-means (integer centroid sums — order-free, bit-reproducible)
@@ -1852,6 +1882,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_sketch": q_hll_sketch,
     "corpus_cube": q_corpus_cube,
     "snap_simplify": q_snap_simplify,
+    "stay_points": q_stay_points,
     "issue_counts": q_issue_counts,
     "scalar_pipeline": q_scalar_pipeline,
     "cell_encode_counts": q_cell_encode_counts,
@@ -1925,6 +1956,7 @@ ORACLES: dict[str, str] = {
     "hll_sketch": _sql_hll_sketch(),
     "corpus_cube": SQL_corpus_cube,
     "snap_simplify": _sql_snap_simplify(),
+    "stay_points": _sql_stay_points(),
     "issue_counts": SQL_issue_counts,
     "scalar_pipeline": SQL_scalar_pipeline,
     "cell_encode_counts": SQL_cell_encode_counts,

@@ -85,3 +85,48 @@ def test_path_length_hand_and_ties(spark):
         want.astype({"user_id": "int64", "n_points": "int64",
                      "path_mm": "int64"}),
         check_names=False)
+
+
+def test_stay_points_hand_corpus(spark):
+    """Planted visits: a 2-hour same-cell dwell is detected with exact
+    enter/exit; a gap larger than gap_s splits the visit; a
+    below-min-stay dwell and a moving track emit nothing."""
+    import datetime as dt
+
+    from osmnightwatch_spark.operators.geo_stats import (
+        stay_points, stay_points_sql)
+
+    t0 = dt.datetime(2024, 3, 1)
+
+    def at(mins):
+        return t0 + dt.timedelta(minutes=mins)
+
+    rows = []
+    # user 1: dwell at (10,10) 0..120 min (4 fixes), then far away
+    rows += [(1, at(m), 100 + m, 10.0, 10.0) for m in (0, 40, 80, 120)]
+    rows += [(1, at(200), 400, 120.0, 40.0)]
+    # user 2: same cell but a 2h gap splits it -> two sub-30min visits
+    rows += [(2, at(0), 500, -30.0, -30.0), (2, at(10), 501, -30.0, -30.0),
+             (2, at(130), 502, -30.0, -30.0), (2, at(140), 503, -30.0, -30.0)]
+    # user 3: constant motion across cells
+    rows += [(3, at(10 * i), 600 + i, -170.0 + 20.0 * i, 0.0)
+             for i in range(6)]
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_id",
+                                      "lon", "lat"])
+    got = (stay_points(spark.createDataFrame(pdf), res=6, gap_s=3600,
+                       min_stay_s=1800)
+           .orderBy("user_id", "enter_ts").toPandas())
+    assert list(got.user_id) == [1]
+    assert got.n_events[0] == 4
+    assert got.enter_ts[0] == at(0) and got.exit_ts[0] == at(120)
+
+    con = duckdb.connect(); con.register("p", pdf)
+    want = con.execute(stay_points_sql("SELECT * FROM p", res=6,
+                                       gap_s=3600, min_stay_s=1800)
+                       + " ORDER BY user_id, enter_ts").fetchdf()
+    pd.testing.assert_frame_equal(
+        got.astype({"user_id": "int64", "cell": "int64",
+                    "n_events": "int64"}),
+        want.astype({"user_id": "int64", "cell": "int64",
+                     "n_events": "int64"}),
+        check_names=False)
