@@ -232,3 +232,57 @@ SELECT {entity}, MIN(_cell) AS cell, MIN({ts}) AS enter_ts,
 FROM v GROUP BY {entity}, _visit
 HAVING MAX(_t) - MIN(_t) >= {int(min_stay_s)}
 """.strip()
+
+
+def od_matrix(points: DataFrame, res: int = 6, gap_s: int = 3600,
+              min_stay_s: int = 1800, entity: str = "user_id",
+              ts: str = "ts", tiebreak: str = "event_id",
+              lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """Origin-destination flow matrix: consecutive stay points of an
+    entity define a trip; trips aggregate to ``(origin_cell,
+    dest_cell, n_trips, n_entities)`` — the standard mobility rollup
+    on top of :func:`stay_points` (origin = earlier visit's cell,
+    ordered by visit enter time; same-cell "trips" are excluded — a
+    re-detected dwell is not a move).
+
+    Scale shape: stay_points' entity windows + one lag over each
+    entity's (few) visits + a groupBy on the (origin, dest) pair. The
+    OD pair space is bounded by occupied-cell² but realized flows are
+    sparse; partial aggregation absorbs commuter-corridor hot pairs.
+    """
+    sp = stay_points(points, res, gap_s, min_stay_s, entity, ts,
+                     tiebreak, lon, lat)
+    w = Window.partitionBy(entity).orderBy("enter_ts")
+    trips = (
+        sp.select(entity, "cell", "enter_ts")
+        .withColumn("_prev", F.lag("cell").over(w))
+        .where(F.col("_prev").isNotNull() & (F.col("_prev") != F.col("cell")))
+    )
+    return (
+        trips.groupBy(F.col("_prev").alias("origin_cell"),
+                      F.col("cell").alias("dest_cell"))
+        .agg(F.count(F.lit(1)).alias("n_trips"),
+             F.countDistinct(entity).alias("n_entities"))
+    )
+
+
+def od_matrix_sql(points_sql: str, res: int = 6, gap_s: int = 3600,
+                  min_stay_s: int = 1800, entity: str = "user_id",
+                  ts: str = "ts", tiebreak: str = "event_id",
+                  lon: str = "lon", lat: str = "lat") -> str:
+    """DuckDB twin of :func:`od_matrix` (stay_points twin as the CTE,
+    same lag-over-enter_ts trip derivation)."""
+    sp = stay_points_sql(points_sql, res, gap_s, min_stay_s, entity,
+                         ts, tiebreak, lon, lat)
+    return f"""
+WITH sp AS ({sp}),
+t AS (
+  SELECT {entity}, cell,
+         lag(cell) OVER (PARTITION BY {entity} ORDER BY enter_ts) AS _prev
+  FROM sp)
+SELECT _prev AS origin_cell, cell AS dest_cell,
+       CAST(COUNT(*) AS BIGINT) AS n_trips,
+       CAST(COUNT(DISTINCT {entity}) AS BIGINT) AS n_entities
+FROM t WHERE _prev IS NOT NULL AND _prev <> cell
+GROUP BY 1, 2
+""".strip()

@@ -1776,6 +1776,31 @@ def _sql_stay_points() -> str:
     return stay_points_sql(pts, gap_s=43200, min_stay_s=14400)
 
 
+def q_od_matrix(spark, sf_dir):
+    """Origin-destination flows between consecutive stay points of the
+    slow-moving per-user tracks (the standard mobility rollup)."""
+    from ..operators.geo_stats import od_matrix
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    loc = F.col("user_id") * F.lit(1000003) + F.floor(
+        F.unix_timestamp("ts") / F.lit(86400))
+    lon, lat = _geo_lonlat(loc)
+    pts = ev.select("user_id", "ts", "event_id",
+                    lon.alias("lon"), lat.alias("lat"))
+    return od_matrix(pts, gap_s=43200, min_stay_s=14400)
+
+
+def _sql_od_matrix() -> str:
+    from ..operators.geo_stats import od_matrix_sql
+
+    loc = ("(user_id * 1000003 + "
+           "CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 86400) AS BIGINT))")
+    lon, lat = _geo_lonlat_sql(loc)
+    pts = (f"SELECT user_id, ts, event_id, {lon} AS lon, "
+           f"{lat} AS lat FROM events")
+    return od_matrix_sql(pts, gap_s=43200, min_stay_s=14400)
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): deterministic quantized spherical
     k-means (integer centroid sums — order-free, bit-reproducible)
@@ -1883,6 +1908,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_cube": q_corpus_cube,
     "snap_simplify": q_snap_simplify,
     "stay_points": q_stay_points,
+    "od_matrix": q_od_matrix,
     "issue_counts": q_issue_counts,
     "scalar_pipeline": q_scalar_pipeline,
     "cell_encode_counts": q_cell_encode_counts,
@@ -1957,6 +1983,7 @@ ORACLES: dict[str, str] = {
     "corpus_cube": SQL_corpus_cube,
     "snap_simplify": _sql_snap_simplify(),
     "stay_points": _sql_stay_points(),
+    "od_matrix": _sql_od_matrix(),
     "issue_counts": SQL_issue_counts,
     "scalar_pipeline": SQL_scalar_pipeline,
     "cell_encode_counts": SQL_cell_encode_counts,

@@ -130,3 +130,38 @@ def test_stay_points_hand_corpus(spark):
         want.astype({"user_id": "int64", "cell": "int64",
                      "n_events": "int64"}),
         check_names=False)
+
+
+def test_od_matrix_hand_corpus(spark):
+    """Two users commuting A->B->A: trips counted directionally,
+    same-cell consecutive stays excluded, n_entities distinct."""
+    import datetime as dt
+
+    from osmnightwatch_spark.operators.geo_stats import (
+        od_matrix, od_matrix_sql)
+
+    t0 = dt.datetime(2024, 3, 1)
+
+    def dwell(user, base_min, x, y, eid0):
+        return [(user, t0 + dt.timedelta(minutes=base_min + m), eid0 + m,
+                 x, y) for m in (0, 40)]
+
+    rows = []
+    for u, eid in ((1, 100), (2, 200)):
+        rows += dwell(u, 0, 10.0, 10.0, eid)        # A
+        rows += dwell(u, 120, 50.0, 20.0, eid + 10)  # B
+        rows += dwell(u, 240, 10.0, 10.0, eid + 20)  # back to A
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_id",
+                                      "lon", "lat"])
+    got = (od_matrix(spark.createDataFrame(pdf), res=6, gap_s=7200,
+                     min_stay_s=1800)
+           .orderBy("origin_cell", "dest_cell").toPandas())
+    assert len(got) == 2                    # A->B and B->A
+    assert (got.n_trips == 2).all() and (got.n_entities == 2).all()
+
+    con = duckdb.connect(); con.register("p", pdf)
+    want = con.execute(od_matrix_sql("SELECT * FROM p", res=6, gap_s=7200,
+                                     min_stay_s=1800)
+                       + " ORDER BY origin_cell, dest_cell").fetchdf()
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64"), check_names=False)
