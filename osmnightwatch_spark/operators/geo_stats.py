@@ -286,3 +286,114 @@ SELECT _prev AS origin_cell, cell AS dest_cell,
 FROM t WHERE _prev IS NOT NULL AND _prev <> cell
 GROUP BY 1, 2
 """.strip()
+
+
+def hotspots(points: DataFrame, res: int = 4,
+             lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """Getis-Ord Gi* hotspot statistic per occupied grid cell →
+    ``(gx, gy, n, wsum, wn, z)``: the z-score of each cell's ring-1
+    neighborhood count sum against the full-grid distribution —
+    positive z = spatial clustering of high counts (the "where are the
+    dense regions, statistically?" layer above raw tile counts).
+
+    Formulation (Getis & Ord 1992, binary ring-1 weights, self
+    inclusive): with m = 4^res grid cells, x̄ = T/m and
+    S = sqrt(T2/m − x̄²) from the EXACT integer total T and square-sum
+    T2 (empty cells contribute zero to both, so the occupied-only agg
+    IS the full-grid sum),
+
+        z_i = (wsum_i − x̄·wn_i) / (S·sqrt((m·wn_i − wn_i²)/(m−1)))
+
+    where wsum_i sums counts over the ≤9 in-grid ring cells (longitude
+    wraps, latitude clamps — clamp duplicates dedup so wn_i < 9 at the
+    poles) and wn_i is the neighborhood size INCLUDING empty
+    neighbors. Scores are emitted for occupied cells (an empty cell's
+    z is derivable but rarely wanted; documented variant).
+
+    Determinism: every aggregated quantity is an exact bigint; the z
+    expression is a fixed float sequence from those ints shared with
+    the SQL twin. One count agg + one 9-way explode equi-join + one
+    groupBy — all map-side-combining, no skew beyond the counts
+    themselves.
+    """
+    n = 1 << res
+    m = n * n
+    from ..functions.cells import _grid_col
+
+    counts = (
+        points.select(_grid_col(F.col(lon), -180.0, 360.0, res).alias("gx"),
+                      _grid_col(F.col(lat), -90.0, 180.0, res).alias("gy"))
+        .groupBy("gx", "gy").agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = counts.agg(
+        F.sum("n").alias("_t"),
+        F.sum(F.col("n") * F.col("n")).alias("_t2"))
+    nbrs = counts.select(
+        "gx", "gy",
+        F.explode(F.array_distinct(F.array(*[
+            F.struct(F.pmod(F.col("gx") + dx, F.lit(n)).alias("jx"),
+                     F.greatest(F.lit(0), F.least(F.lit(n - 1),
+                                                  F.col("gy") + dy)).alias("jy"))
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        ]))).alias("_j"),
+    ).select("gx", "gy", F.col("_j.jx").alias("jx"), F.col("_j.jy").alias("jy"))
+    hood = (
+        nbrs.join(counts.select(F.col("gx").alias("jx"),
+                                F.col("gy").alias("jy"),
+                                F.col("n").alias("_jn")),
+                  ["jx", "jy"], "left")
+        .groupBy("gx", "gy")
+        .agg(F.sum(F.coalesce("_jn", F.lit(0))).alias("wsum"),
+             F.count(F.lit(1)).alias("wn"))
+    )
+    xbar = F.col("_t").cast("double") / F.lit(float(m))
+    s = F.sqrt(F.col("_t2").cast("double") / F.lit(float(m)) - xbar * xbar)
+    wn_d = F.col("wn").cast("double")
+    denom = s * F.sqrt((F.lit(float(m)) * wn_d - wn_d * wn_d)
+                       / F.lit(float(m - 1)))
+    return (
+        counts.join(hood, ["gx", "gy"])
+        .crossJoin(F.broadcast(stats))
+        .select("gx", "gy", "n", "wsum", "wn",
+                ((F.col("wsum").cast("double") - xbar * wn_d) / denom
+                 ).alias("z"))
+    )
+
+
+def hotspots_sql(points_sql: str, res: int = 4,
+                 lon: str = "lon", lat: str = "lat") -> str:
+    """DuckDB twin of :func:`hotspots` (same grid, same wrap/clamp
+    neighbor enumeration, same exact-int stats and float sequence)."""
+    n = 1 << res
+    m = n * n
+    gx = (f"GREATEST(0, LEAST({n - 1}, "
+          f"CAST(FLOOR((({lon}) + 180.0) / 360.0 * {n}) AS BIGINT)))")
+    gy = (f"GREATEST(0, LEAST({n - 1}, "
+          f"CAST(FLOOR((({lat}) + 90.0) / 180.0 * {n}) AS BIGINT)))")
+    offs = ", ".join(f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+    return f"""
+WITH counts AS (
+  SELECT {gx} AS gx, {gy} AS gy, CAST(COUNT(*) AS BIGINT) AS n
+  FROM ({points_sql}) GROUP BY 1, 2),
+stats AS (SELECT SUM(n) AS _t, SUM(n * n) AS _t2 FROM counts),
+nbrs AS (
+  SELECT DISTINCT gx, gy,
+         ((gx + dx) % {n} + {n}) % {n} AS jx,
+         GREATEST(0, LEAST({n - 1}, gy + dy)) AS jy
+  FROM counts, (VALUES {offs}) AS o(dx, dy)),
+hood AS (
+  SELECT nb.gx, nb.gy, SUM(COALESCE(c.n, 0)) AS wsum,
+         CAST(COUNT(*) AS BIGINT) AS wn
+  FROM nbrs nb LEFT JOIN counts c ON c.gx = nb.jx AND c.gy = nb.jy
+  GROUP BY 1, 2)
+SELECT gx, gy, n, wsum, wn,
+       (CAST(hood.wsum AS DOUBLE)
+        - (CAST(stats._t AS DOUBLE) / {float(m)!r}) * CAST(hood.wn AS DOUBLE))
+       / (sqrt(CAST(stats._t2 AS DOUBLE) / {float(m)!r}
+               - (CAST(stats._t AS DOUBLE) / {float(m)!r})
+                 * (CAST(stats._t AS DOUBLE) / {float(m)!r}))
+          * sqrt(({float(m)!r} * CAST(hood.wn AS DOUBLE)
+                  - CAST(hood.wn AS DOUBLE) * CAST(hood.wn AS DOUBLE))
+                 / {float(m - 1)!r})) AS z
+FROM counts JOIN hood USING (gx, gy), stats
+""".strip()

@@ -1801,6 +1801,20 @@ def _sql_od_matrix() -> str:
     return od_matrix_sql(pts, gap_s=43200, min_stay_s=14400)
 
 
+def q_hotspots(spark, sf_dir):
+    """Getis-Ord Gi* hotspot z-scores per res-4 cell over event points
+    (ring-1 binary weights, full-grid stats from exact integer sums)."""
+    from ..operators.geo_stats import hotspots
+
+    return hotspots(_events_geo(spark, sf_dir), res=4)
+
+
+def _sql_hotspots() -> str:
+    from ..operators.geo_stats import hotspots_sql
+
+    return hotspots_sql(_GEO_SQL, res=4)
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): deterministic quantized spherical
     k-means (integer centroid sums — order-free, bit-reproducible)
@@ -1909,6 +1923,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snap_simplify": q_snap_simplify,
     "stay_points": q_stay_points,
     "od_matrix": q_od_matrix,
+    "hotspots": q_hotspots,
     "issue_counts": q_issue_counts,
     "scalar_pipeline": q_scalar_pipeline,
     "cell_encode_counts": q_cell_encode_counts,
@@ -1984,6 +1999,7 @@ ORACLES: dict[str, str] = {
     "snap_simplify": _sql_snap_simplify(),
     "stay_points": _sql_stay_points(),
     "od_matrix": _sql_od_matrix(),
+    "hotspots": _sql_hotspots(),
     "issue_counts": SQL_issue_counts,
     "scalar_pipeline": SQL_scalar_pipeline,
     "cell_encode_counts": SQL_cell_encode_counts,

@@ -165,3 +165,41 @@ def test_od_matrix_hand_corpus(spark):
                        + " ORDER BY origin_cell, dest_cell").fetchdf()
     pd.testing.assert_frame_equal(
         got.astype("int64"), want.astype("int64"), check_names=False)
+
+
+def test_hotspots_planted_blob(spark):
+    """A dense blob on a sparse uniform field: the blob's cell (and its
+    ring) carry the max z; a far-away lone point sits near 0; wn
+    shrinks at the pole row; twin agrees row-for-row."""
+    import numpy as np
+
+    from osmnightwatch_spark.operators.geo_stats import (
+        hotspots, hotspots_sql)
+
+    rng = np.random.default_rng(17)
+    rows = [(float(lo), float(la)) for lo, la in zip(
+        rng.uniform(-170, 170, 300), rng.uniform(-80, 80, 300))]
+    rows += [(45.0 + float(d) * 0.01, 45.0) for d in range(200)]  # blob
+    rows += [(0.0, 89.9)]                                         # pole pt
+    pdf = pd.DataFrame(rows, columns=["lon", "lat"])
+    got = (hotspots(spark.createDataFrame(pdf), res=4)
+           .orderBy("gx", "gy").toPandas())
+    top = got.loc[got.z.idxmax()]
+    # blob at lon 45-47, lat 45: gx = floor((45+180)/360*16) = 10,
+    # gy = floor((45+90)/180*16) = 12. Gi* includes the blob in every
+    # ring-1 neighbor's sum, so the max-z cell is the blob cell or one
+    # of its 8 neighbors — assert Chebyshev distance <= 1 and a
+    # strongly-significant score.
+    assert abs(top.gx - 10) <= 1 and abs(top.gy - 12) <= 1 and top.z > 3
+    pole = got[(got.gy == 15)]
+    assert (pole.wn < 9).all()     # clamped neighborhood at the pole row
+
+    con = duckdb.connect(); con.register("p", pdf)
+    want = con.execute(hotspots_sql("SELECT * FROM p", res=4)
+                       + " ORDER BY gx, gy").fetchdf()
+    pd.testing.assert_frame_equal(
+        got.astype({"gx": "int64", "gy": "int64", "n": "int64",
+                    "wsum": "int64", "wn": "int64"}),
+        want.astype({"gx": "int64", "gy": "int64", "n": "int64",
+                     "wsum": "int64", "wn": "int64"}),
+        check_names=False)
