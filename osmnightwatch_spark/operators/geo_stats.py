@@ -84,11 +84,15 @@ def idw_surface_sql(probes_sql: str, points_sql: str, radius: float,
     rj = range_join_sql(probes_sql, points_sql, radius,
                         left_id=probe_id, right_id=point_id,
                         right_extra=(value,))
+    # Outer CASTs: DuckDB SUM(BIGINT) yields HUGEINT, which pandas
+    # materializes as float64 ("148" vs "148.0" under the driver's
+    # exact string hash) — pin the twin's dtype to BIGINT like Spark's.
     return (
         f"SELECT {probe_id}, COUNT(*) AS n_nbrs, "
-        f"SUM(CAST(FLOOR({WQ!r} / (dist * dist)) AS BIGINT)) AS w_den, "
-        f"SUM(CAST(FLOOR({WQ!r} * CAST({value} AS DOUBLE) / (dist * dist)) "
-        f"AS BIGINT)) AS wv_num, "
+        f"CAST(SUM(CAST(FLOOR({WQ!r} / (dist * dist)) AS BIGINT)) "
+        f"AS BIGINT) AS w_den, "
+        f"CAST(SUM(CAST(FLOOR({WQ!r} * CAST({value} AS DOUBLE) / (dist * dist)) "
+        f"AS BIGINT)) AS BIGINT) AS wv_num, "
         f"CAST(SUM(CAST(FLOOR({WQ!r} * CAST({value} AS DOUBLE) / (dist * dist)) "
         f"AS BIGINT)) AS DOUBLE) / "
         f"CAST(SUM(CAST(FLOOR({WQ!r} / (dist * dist)) AS BIGINT)) AS DOUBLE) "
@@ -144,8 +148,11 @@ def path_length_sql(points_sql: str, entity: str = "user_id",
         f"ORDER BY {ts}, {tiebreak}) AS _plat "
         f"FROM ({points_sql})) "
         f"SELECT {entity}, COUNT(*) AS n_points, "
-        f"COALESCE(SUM(CASE WHEN _plon IS NULL THEN NULL ELSE "
-        f"CAST(FLOOR({hav} * {MM!r}) AS BIGINT) END), 0) AS path_mm "
+        # Outer CAST: DuckDB SUM(BIGINT) → HUGEINT → pandas float64,
+        # which the driver's exact string hash sees as a different
+        # value ("548171351461" vs "5.481714e+11") — pin to BIGINT.
+        f"CAST(COALESCE(SUM(CASE WHEN _plon IS NULL THEN NULL ELSE "
+        f"CAST(FLOOR({hav} * {MM!r}) AS BIGINT) END), 0) AS BIGINT) AS path_mm "
         f"FROM hops GROUP BY {entity}"
     )
 
@@ -252,7 +259,10 @@ def od_matrix(points: DataFrame, res: int = 6, gap_s: int = 3600,
     """
     sp = stay_points(points, res, gap_s, min_stay_s, entity, ts,
                      tiebreak, lon, lat)
-    w = Window.partitionBy(entity).orderBy("enter_ts")
+    # "cell" as a secondary sort key: two visits sharing an enter
+    # timestamp (multiple fixes at one ts across cells) would otherwise
+    # make the lag order engine/partition-dependent.
+    w = Window.partitionBy(entity).orderBy("enter_ts", "cell")
     trips = (
         sp.select(entity, "cell", "enter_ts")
         .withColumn("_prev", F.lag("cell").over(w))
@@ -278,7 +288,8 @@ def od_matrix_sql(points_sql: str, res: int = 6, gap_s: int = 3600,
 WITH sp AS ({sp}),
 t AS (
   SELECT {entity}, cell,
-         lag(cell) OVER (PARTITION BY {entity} ORDER BY enter_ts) AS _prev
+         lag(cell) OVER (PARTITION BY {entity}
+                         ORDER BY enter_ts, cell) AS _prev
   FROM sp)
 SELECT _prev AS origin_cell, cell AS dest_cell,
        CAST(COUNT(*) AS BIGINT) AS n_trips,
@@ -382,7 +393,9 @@ nbrs AS (
          GREATEST(0, LEAST({n - 1}, gy + dy)) AS jy
   FROM counts, (VALUES {offs}) AS o(dx, dy)),
 hood AS (
-  SELECT nb.gx, nb.gy, SUM(COALESCE(c.n, 0)) AS wsum,
+  -- outer CAST: SUM(BIGINT) is HUGEINT in DuckDB → pandas float64;
+  -- pin wsum to BIGINT so the driver's string hash matches Spark's.
+  SELECT nb.gx, nb.gy, CAST(SUM(COALESCE(c.n, 0)) AS BIGINT) AS wsum,
          CAST(COUNT(*) AS BIGINT) AS wn
   FROM nbrs nb LEFT JOIN counts c ON c.gx = nb.jx AND c.gy = nb.jy
   GROUP BY 1, 2)

@@ -59,13 +59,21 @@ def bm25_topk(df: DataFrame, query: str, k: int = 10,
 
     stats = lens.agg(F.count(F.lit(1)).alias("n"),
                      F.sum("_len").alias("tot")).collect()[0]
+    if not stats.n:
+        raise ValueError("bm25_topk: corpus is empty (no documents)")
     n_docs, total = int(stats.n), int(stats.tot)
     avgdl = total / n_docs  # exact ints -> one identical division
 
     hits = toks.select(
         "_doc", F.explode("_t").alias("_tok")
     ).where(F.col("_tok").isin(terms))
-    tf = hits.groupBy("_doc").pivot("_tok", terms).count().na.fill(0)
+    # toDF renames the pivot columns POSITIONALLY to tf_0..tf_n (the
+    # SQL twin's names): a raw term equal to '_doc'/'_len' or holding
+    # '.'/backtick would otherwise collide with internal columns or
+    # break F.col name resolution.
+    tf = (hits.groupBy("_doc").pivot("_tok", terms).count()
+          .toDF("_doc", *[f"tf_{i}" for i in range(len(terms))])
+          .na.fill(0))
     dfs = {
         r["_tok"]: int(r["_df"])
         for r in hits.groupBy("_tok")
@@ -74,10 +82,10 @@ def bm25_topk(df: DataFrame, query: str, k: int = 10,
 
     scored = lens.join(tf, "_doc", "left").na.fill(0)
     score = F.lit(0.0)
-    for t in terms:  # fixed sorted order -> deterministic float sum
+    for i, t in enumerate(terms):  # fixed sorted order -> deterministic sum
         idf = math.log((n_docs - dfs.get(t, 0) + 0.5)
                        / (dfs.get(t, 0) + 0.5) + 1.0)
-        tf_c = F.col(t).cast("double")
+        tf_c = F.col(f"tf_{i}").cast("double")
         denom = tf_c + F.lit(float(k1)) * (
             F.lit(1.0 - b) + F.lit(float(b)) * F.col("_len").cast("double")
             / F.lit(float(avgdl)))

@@ -44,11 +44,16 @@ def snap_simplify(points: DataFrame, res: int,
         F.col(way_col), F.col(seq_col).alias("_seq"),
         C.cell_col(F.col(lon), F.col(lat), res).alias("_cell"),
         # cell-center coordinates re-derived from the grid indices —
-        # pure arithmetic on the same floor()ed grid coords
-        ((F.floor((F.col(lon) + 180.0) / 360.0 * n) + 0.5) / n * 360.0
-         - 180.0).alias("_clon"),
-        ((F.floor((F.col(lat) + 90.0) / 180.0 * n) + 0.5) / n * 180.0
-         - 90.0).alias("_clat"),
+        # pure arithmetic on the same floor()ed grid coords, with the
+        # SAME clamp cell_col applies: a boundary vertex (lon=180,
+        # lat=90) floors to n, which would emit a center outside the
+        # valid range, inconsistent with its dedup cell.
+        ((F.least(F.lit(n - 1), F.greatest(
+            F.lit(0), F.floor((F.col(lon) + 180.0) / 360.0 * n)))
+          + 0.5) / n * 360.0 - 180.0).alias("_clon"),
+        ((F.least(F.lit(n - 1), F.greatest(
+            F.lit(0), F.floor((F.col(lat) + 90.0) / 180.0 * n)))
+          + 0.5) / n * 180.0 - 90.0).alias("_clat"),
     )
     w = Window.partitionBy(way_col).orderBy("_seq")
     kept = (
@@ -70,8 +75,12 @@ def snap_simplify_sql(points_sql: str, res: int,
     collapse, same center arithmetic)."""
     n = 1 << res
     cell = C.cell_sql(lon, lat, res)
-    clon = f"((FLOOR(({lon} + 180.0) / 360.0 * {n}) + 0.5) / {n} * 360.0 - 180.0)"
-    clat = f"((FLOOR(({lat} + 90.0) / 180.0 * {n}) + 0.5) / {n} * 180.0 - 90.0)"
+    clon = (f"((LEAST({n - 1}, GREATEST(0, "
+            f"FLOOR(({lon} + 180.0) / 360.0 * {n}))) + 0.5) "
+            f"/ {n} * 360.0 - 180.0)")
+    clat = (f"((LEAST({n - 1}, GREATEST(0, "
+            f"FLOOR(({lat} + 90.0) / 180.0 * {n}))) + 0.5) "
+            f"/ {n} * 180.0 - 90.0)")
     return f"""
 WITH s AS (
   SELECT {way_col}, {seq_col} AS _seq, {cell} AS _cell,
@@ -148,3 +157,80 @@ def dp_simplify(points: DataFrame, epsilon: float,
         F.col(lon).alias("_lon"), F.col(lat).alias("_lat"))
     return prepared.groupBy(way_col).applyInPandas(
         run, f"{way_col} long, seq_out long, lon double, lat double")
+
+
+def dp_simplify_sql(points_sql: str, epsilon: float, rounds: int = 20,
+                    way_col: str = "way_id", seq_col: str = "seq",
+                    lon: str = "lon", lat: str = "lat") -> str:
+    """DuckDB twin of :func:`dp_simplify` — the BFS-unrolled form.
+
+    Douglas-Peucker's keep set is CONFLUENT: segments split
+    independently, so processing order doesn't change the final set.
+    The recursive kernel's DFS therefore equals this breadth-first
+    fixpoint: round i takes the current keep set, forms every
+    consecutive kept pair per way (one lead window), finds each
+    segment interior's max-deviation point (same ``cross²/seg2``
+    doubles in the same written order as the numpy kernel, first-index
+    tie like ``np.argmax``), and adds those exceeding ε. ``rounds``
+    chained CTEs unroll the iteration (DuckDB's recursive CTE only
+    sees the last iteration's rows, not the full keep set, so plain
+    chaining it is — each CTE MATERIALIZED, since inlining would
+    re-expand k_i into k_{i+1} twice and blow the plan up 2^rounds);
+    the fixpoint is reached once a round adds
+    nothing — callers must pin ``rounds`` ≥ the fixture's split depth
+    (tests assert rounds vs rounds+1 equality, i.e. a reached
+    fixpoint)."""
+    eps2 = float(epsilon) * float(epsilon)
+    parts = [
+        f"pts AS MATERIALIZED (SELECT {way_col} AS _w, {seq_col} AS _s, "
+        f"{lon} AS _x, {lat} AS _y FROM ({points_sql}))",
+        "k0 AS MATERIALIZED (SELECT _w, MIN(_s) AS _s FROM pts GROUP BY _w "
+        "UNION SELECT _w, MAX(_s) FROM pts GROUP BY _w)",
+    ]
+    for i in range(rounds):
+        parts.append(f"""
+k{i + 1} AS MATERIALIZED (
+  SELECT _w, _s FROM k{i}
+  UNION
+  SELECT _w, _s FROM (
+    SELECT s._w, p._s,
+           CASE WHEN (pb._x - pa._x) * (pb._x - pa._x)
+                   + (pb._y - pa._y) * (pb._y - pa._y) = 0.0
+                THEN (p._x - pa._x) * (p._x - pa._x)
+                   + (p._y - pa._y) * (p._y - pa._y)
+                ELSE ((p._x - pa._x) * (pb._y - pa._y)
+                      - (p._y - pa._y) * (pb._x - pa._x))
+                   * ((p._x - pa._x) * (pb._y - pa._y)
+                      - (p._y - pa._y) * (pb._x - pa._x))
+                   / ((pb._x - pa._x) * (pb._x - pa._x)
+                      + (pb._y - pa._y) * (pb._y - pa._y)) END AS _d2,
+           ROW_NUMBER() OVER (
+             PARTITION BY s._w, s._a
+             ORDER BY CASE WHEN (pb._x - pa._x) * (pb._x - pa._x)
+                             + (pb._y - pa._y) * (pb._y - pa._y) = 0.0
+                           THEN (p._x - pa._x) * (p._x - pa._x)
+                              + (p._y - pa._y) * (p._y - pa._y)
+                           ELSE ((p._x - pa._x) * (pb._y - pa._y)
+                                 - (p._y - pa._y) * (pb._x - pa._x))
+                              * ((p._x - pa._x) * (pb._y - pa._y)
+                                 - (p._y - pa._y) * (pb._x - pa._x))
+                              / ((pb._x - pa._x) * (pb._x - pa._x)
+                                 + (pb._y - pa._y) * (pb._y - pa._y)) END
+                      DESC, p._s ASC) AS _rn
+    FROM (SELECT _w, _s AS _a,
+                 lead(_s) OVER (PARTITION BY _w ORDER BY _s) AS _b
+          FROM k{i}) s
+    JOIN pts p  ON p._w = s._w AND p._s > s._a AND p._s < s._b
+    JOIN pts pa ON pa._w = s._w AND pa._s = s._a
+    JOIN pts pb ON pb._w = s._w AND pb._s = s._b)
+  WHERE _rn = 1 AND _d2 > {eps2!r})
+""".strip())
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT p._w AS {way_col},
+       CAST(ROW_NUMBER() OVER (PARTITION BY p._w ORDER BY p._s) - 1
+            AS BIGINT) AS seq_out,
+       p._x AS lon, p._y AS lat
+FROM pts p JOIN k{rounds} k ON k._w = p._w AND k._s = p._s
+""".strip()

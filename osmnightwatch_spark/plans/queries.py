@@ -1717,9 +1717,11 @@ def q_corpus_cube(spark, sf_dir):
     )
 
 
+# CAST(SUM(...) AS BIGINT): DuckDB SUM(BIGINT) → HUGEINT → pandas
+# float64, diverging from Spark int64 under the driver's string hash.
 SQL_corpus_cube = (
     "SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
-    "SUM(n_chars) AS sum_chars "
+    "CAST(SUM(n_chars) AS BIGINT) AS sum_chars "
     "FROM documents GROUP BY CUBE(source, lang)"
 )
 
@@ -1744,6 +1746,118 @@ def _sql_snap_simplify() -> str:
     pts = (f"SELECT user_id AS way_id, event_id AS seq, "
            f"{_GEO_LON_SQL} AS lon, {_GEO_LAT_SQL} AS lat FROM events")
     return snap_simplify_sql(pts, res=5)
+
+
+_DP_EPS = 30.0     # planar degrees — keeps the split depth shallow
+_DP_ROUNDS = 28    # unrolled BFS rounds; fixpoint asserted by pytest
+
+
+def q_dp_simplify(spark, sf_dir):
+    """Douglas-Peucker simplification (max deviation <= 30 planar
+    degrees) of per-user event tracks. Spark side is the iterative
+    numpy stack kernel per way (applyInPandas); the oracle is the
+    BFS-unrolled SQL fixpoint — DP's keep set is confluent, so the
+    two traversal orders provably agree (same doubles, same
+    first-index argmax tie)."""
+    from ..operators.simplify import dp_simplify
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lon, lat = _geo_lonlat(F.col("event_id"))
+    pts = ev.select(F.col("user_id").alias("way_id"),
+                    F.col("event_id").alias("seq"),
+                    lon.alias("lon"), lat.alias("lat"))
+    return dp_simplify(pts, epsilon=_DP_EPS)
+
+
+def _sql_dp_simplify() -> str:
+    from ..operators.simplify import dp_simplify_sql
+
+    pts = (f"SELECT user_id AS way_id, event_id AS seq, "
+           f"{_GEO_LON_SQL} AS lon, {_GEO_LAT_SQL} AS lat FROM events")
+    return dp_simplify_sql(pts, epsilon=_DP_EPS, rounds=_DP_ROUNDS)
+
+
+_CATCHUP_TO_SEQ = 26           # ladder covers (0, 26]
+_CATCHUP_GRANS = (12, 3, 1)    # "day"/"hour"/"minute" analog blocks
+
+
+def q_catchup_ladder(spark, sf_dir):
+    """S7/ST1 driver row — the multi-granularity catch-up ladder
+    (``streaming/catchup.py``, mirroring
+    ``CatchupReplicationDiffEnumerator.cs:31-187``): 26 event-derived
+    minute batches written to a scratch dir, the aligned (12..23) and
+    (24..26) blocks pre-consolidated (the published coarse-diff path),
+    the rest compacted on the fly; the ladder unions its segments,
+    compacts once, and applies ONE merge to a lineitem-derived
+    snapshot. Oracle: DuckDB FULL recompute over the same formulas —
+    equal because last-writer-wins by (version, op-rank) is
+    associative over the batches' union."""
+    import tempfile
+
+    from ..streaming import catchup as cu
+
+    import duckdb
+
+    tmp = tempfile.mkdtemp(prefix="catchup_ladder_")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW ev AS SELECT * FROM '{sf_dir}/events.parquet'")
+    con.execute(f"""
+CREATE VIEW ch AS
+SELECT event_id % {_CATCHUP_TO_SEQ + 1} AS seq,
+       CASE WHEN event_type = 'view' THEN 'C'
+            WHEN event_type = 'error' THEN 'D' ELSE 'M' END AS op,
+       'entity' AS entity_type,
+       event_id % 400 AS id,
+       event_id AS version,
+       {{'id': event_id % 400, 'val': ROUND(value, 4)}} AS payload
+FROM ev""")
+    import os as _os
+    _os.makedirs(_os.path.join(tmp, "minute"), exist_ok=True)
+    for s in range(1, _CATCHUP_TO_SEQ + 1):
+        con.execute(
+            f"COPY (SELECT op, entity_type, id, version, payload "
+            f"FROM ch WHERE seq = {s} ORDER BY version) "
+            f"TO '{cu.minute_path(tmp, s)}' (FORMAT PARQUET)")
+    con.close()
+    # publish the two aligned coarse blocks the plan will pick up
+    cu.consolidate_range(spark, tmp, 12, 12)
+    cu.consolidate_range(spark, tmp, 24, 3)
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    snapshot = (
+        li.groupBy((F.col("l_orderkey") % 400).alias("id"))
+        .agg(F.round(F.sum("l_quantity"), 2).alias("val"))
+    )
+    out, segs = cu.catchup(spark, snapshot, tmp, 0, _CATCHUP_TO_SEQ,
+                           granularities=_CATCHUP_GRANS)
+    # the ladder must actually ladder: coarse blocks in the plan
+    assert any(g > 1 for _, _, g in segs), segs
+    return out
+
+
+def _sql_catchup_ladder() -> str:
+    return f"""
+WITH ch AS (
+  SELECT event_id % {_CATCHUP_TO_SEQ + 1} AS seq,
+         CASE WHEN event_type = 'view' THEN 'C'
+              WHEN event_type = 'error' THEN 'D' ELSE 'M' END AS op,
+         event_id % 400 AS id, event_id AS version,
+         ROUND(value, 4) AS val
+  FROM events),
+pending AS (SELECT * FROM ch WHERE seq >= 1),
+compacted AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY id ORDER BY version DESC,
+      CASE op WHEN 'D' THEN 3 WHEN 'M' THEN 2 ELSE 1 END DESC) AS rn
+    FROM pending) WHERE rn = 1),
+snapshot AS (
+  SELECT l_orderkey % 400 AS id, ROUND(SUM(l_quantity), 2) AS val
+  FROM lineitem GROUP BY 1)
+SELECT id, val FROM snapshot WHERE id NOT IN (SELECT id FROM compacted)
+UNION ALL SELECT id, val FROM compacted WHERE op <> 'D'
+""".strip()
 
 
 def q_stay_points(spark, sf_dir):
@@ -1876,63 +1990,121 @@ def q_asof_join(spark, sf_dir):
     )
     probes = ev.where(F.col("event_id") % 10 == 0).drop("val")
     refs = ev.where(F.col("event_id") % 10 != 0)
+    # tiebreak pins which ref wins among duplicate (k, te) rows —
+    # max event_id, mirrored by the twin's QUALIFY dedupe.
     return asof_join(probes, refs, key="k", t="te",
-                     payload=["event_id", "val"])
+                     payload=["event_id", "val"], tiebreak="event_id")
+
+
+def q_asof_bucketed(spark, sf_dir):
+    """Hot-key-safe as-of join (``operators/asof.asof_join_bucketed``):
+    identical output contract to ``asof_join`` but partitioned by
+    ``(key, daily time slice)`` with one carry-in boundary ref per
+    probed slice — the 100 TB execution shape for a key holding half
+    the corpus. Oracle: the SAME native DuckDB ``ASOF LEFT JOIN`` twin
+    (bucketing is an execution detail, not a semantics change)."""
+    from ..operators.asof import asof_join_bucketed
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "event_id",
+            (F.col("user_id") % 50).alias("k"),
+            F.unix_timestamp("ts").alias("te"),
+            F.round("value", 6).alias("val"),
+        )
+    )
+    probes = ev.where(F.col("event_id") % 10 == 0).drop("val")
+    refs = ev.where(F.col("event_id") % 10 != 0)
+    return asof_join_bucketed(probes, refs, key="k", t="te",
+                              payload=["event_id", "val"],
+                              slice_width=86400, tiebreak="event_id")
 
 
 def _sql_asof_join() -> str:
     from ..operators.asof import asof_join_sql
 
-    base = ("SELECT event_id, user_id % 50 AS k, epoch(ts) AS te, "
+    # FLOOR before CAST: DuckDB epoch(ts) is DOUBLE with fractional
+    # seconds and CAST-to-BIGINT ROUNDS, while Spark's unix_timestamp
+    # floors — bare CAST is off by one on .5+ fractions, bare epoch is
+    # a float under the string hash ("148.0" vs "148").
+    base = ("SELECT event_id, user_id % 50 AS k, "
+            "CAST(FLOOR(epoch(ts)) AS BIGINT) AS te, "
             "ROUND(value, 6) AS val FROM events")
     return asof_join_sql(
         f"SELECT event_id, k, te FROM ({base}) WHERE event_id % 10 = 0",
         f"SELECT * FROM ({base}) WHERE event_id % 10 <> 0",
         key="k", t="te", payload=["event_id", "val"],
-        probe_select="p.event_id, p.k, p.te",
+        probe_select="p.event_id, p.k, p.te", tiebreak="event_id",
     )
 
 
 # ---------------------------------------------------------------------------
 
+# Ordering contract: the driver checks the FIRST 50 entries each
+# round. Slots 1-50 carry this round's maximum signal (never-checked
+# + new + changed + stale-green queries); the tail is the documented
+# rotation of multiply-green micro queries (STATUS.md "registry
+# rotation"). Keep QUERIES and ORACLES in the SAME order.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "substring_cut": q_substring_cut,
+    "corpus_build": q_corpus_build,
+    "phash_near_dup": q_phash_near_dup,
+    "incremental_flagship": q_incremental_flagship,
+    "asof_bucketed": q_asof_bucketed,
+    "dp_simplify": q_dp_simplify,
+    "catchup_ladder": q_catchup_ladder,
+    "images_flagship": q_images_flagship,
+    "polygon_assembly": q_polygon_assembly,
+    "cdc_merge": q_cdc_merge,
+    "admin_diff": q_admin_diff,
+    "coastline_issues": q_coastline_issues,
+    "expected_admins_corpus": q_expected_admins_corpus,
+    "important_features": q_important_features,
+    "asof_join": q_asof_join,
+    "idw_surface": q_idw_surface,
+    "path_length": q_path_length,
+    "corpus_cube": q_corpus_cube,
+    "hotspots": q_hotspots,
+    "od_matrix": q_od_matrix,
+    "snap_simplify": q_snap_simplify,
+    "bm25_topk": q_bm25,
+    "minhash_pairs": q_minhash_pairs,
+    "dedup_clusters": q_dedup_clusters,
+    "stratified_sample": q_stratified_sample,
+    "pack_sequences": q_pack_sequences,
+    "decontaminate": q_decontaminate,
+    "simhash_groups": q_simhash_groups,
+    "cosine_topk": q_cosine_topk,
+    "lsh_histogram": q_lsh_histogram,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "embedding_near_dup": q_embedding_near_dup,
+    "adaptive_cell_split": q_adaptive_cell_split,
     "tag_filter_project": q_tag_filter_project,
     "id_semi_join_scan": q_id_semi_join_scan,
     "version_compaction": q_version_compaction,
-    "agg_pricing": q_agg_pricing,
-    "join_revenue": q_join_revenue,
-    "broadcast_dims": q_broadcast_dims,
-    "anti_join_missing": q_anti_join_missing,
-    "full_outer_diff": q_full_outer_diff,
     "first_seen": q_first_seen,
     "endpoint_degree": q_endpoint_degree,
     "topk_per_group": q_topk_per_group,
     "sessionize": q_sessionize,
-    "asof_join": q_asof_join,
     "cell_compact": q_cell_compact,
     "semdedup": q_semdedup,
     "range_join_events": q_range_join_events,
     "dbscan_events": q_dbscan_events,
-    "idw_surface": q_idw_surface,
-    "path_length": q_path_length,
-    "triangle_count": q_triangle_count,
-    "weighted_sample": q_weighted_sample,
-    "bm25_topk": q_bm25,
-    "hll_sketch": q_hll_sketch,
-    "corpus_cube": q_corpus_cube,
-    "snap_simplify": q_snap_simplify,
-    "stay_points": q_stay_points,
-    "od_matrix": q_od_matrix,
-    "hotspots": q_hotspots,
-    "issue_counts": q_issue_counts,
-    "scalar_pipeline": q_scalar_pipeline,
-    "cell_encode_counts": q_cell_encode_counts,
-    "tile_rollup_parent": q_tile_rollup_parent,
-    "pip_rect_join": q_pip_rect_join,
-    "pip_rect_counts": q_pip_rect_counts,
     "knn_events": q_knn_events,
     "knn_haversine": q_knn_haversine,
     "coverage_observed": q_coverage_observed,
+    "pip_rect_join": q_pip_rect_join,
+    "pip_rect_counts": q_pip_rect_counts,
+    "stay_points": q_stay_points,
+    "triangle_count": q_triangle_count,
+    "weighted_sample": q_weighted_sample,
+    "hll_sketch": q_hll_sketch,
+    "cell_encode_counts": q_cell_encode_counts,
+    "tile_rollup_parent": q_tile_rollup_parent,
+    "issue_counts": q_issue_counts,
+    "scalar_pipeline": q_scalar_pipeline,
     "dedup_exact": q_dedup_exact,
     "token_quality": q_token_quality,
     "lang_guess": q_lang_guess,
@@ -1946,69 +2118,72 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_filter": q_source_filter,
     "ngram_topk": q_ngram_topk,
     "epoch_shard": q_epoch_shard,
-    "substring_cut": q_substring_cut,
-    "minhash_pairs": q_minhash_pairs,
-    "dedup_clusters": q_dedup_clusters,
-    "stratified_sample": q_stratified_sample,
-    "pack_sequences": q_pack_sequences,
-    "decontaminate": q_decontaminate,
-    "corpus_build": q_corpus_build,
-    "simhash_groups": q_simhash_groups,
-    "cosine_topk": q_cosine_topk,
-    "lsh_histogram": q_lsh_histogram,
-    "ann_lsh_topk": q_ann_lsh_topk,
-    "winnow_fingerprints": q_winnow_fingerprints,
-    "embedding_near_dup": q_embedding_near_dup,
-    "phash_near_dup": q_phash_near_dup,
-    "adaptive_cell_split": q_adaptive_cell_split,
-    "important_features": q_important_features,
-    "cdc_merge": q_cdc_merge,
-    "admin_diff": q_admin_diff,
-    "polygon_assembly": q_polygon_assembly,
-    "coastline_issues": q_coastline_issues,
-    "images_flagship": q_images_flagship,
-    "incremental_flagship": q_incremental_flagship,
-    "expected_admins_corpus": q_expected_admins_corpus,
+    "agg_pricing": q_agg_pricing,
+    "join_revenue": q_join_revenue,
+    "broadcast_dims": q_broadcast_dims,
+    "anti_join_missing": q_anti_join_missing,
+    "full_outer_diff": q_full_outer_diff,
 }
 
 ORACLES: dict[str, str] = {
+    "substring_cut": _sql_substring_cut(),
+    "corpus_build": _sql_corpus_build(),
+    "phash_near_dup": _sql_phash_near_dup(),
+    "incremental_flagship": _sql_incremental_flagship(),
+    "asof_bucketed": _sql_asof_join(),
+    "dp_simplify": _sql_dp_simplify(),
+    "catchup_ladder": _sql_catchup_ladder(),
+    "images_flagship": SQL_images_flagship,
+    "polygon_assembly": AF.oracle_sql(),
+    "cdc_merge": SQL_cdc_merge,
+    "admin_diff": SQL_admin_diff,
+    "coastline_issues": CF.oracle_sql(),
+    "expected_admins_corpus": SQL_expected_admins_corpus,
+    "important_features": SQL_important_features,
+    "asof_join": _sql_asof_join(),
+    "idw_surface": _sql_idw_surface(),
+    "path_length": _sql_path_length(),
+    "corpus_cube": SQL_corpus_cube,
+    "hotspots": _sql_hotspots(),
+    "od_matrix": _sql_od_matrix(),
+    "snap_simplify": _sql_snap_simplify(),
+    "bm25_topk": _sql_bm25(),
+    "minhash_pairs": _sql_minhash_pairs(),
+    "dedup_clusters": _sql_dedup_clusters(),
+    "stratified_sample": _sql_stratified_sample(),
+    "pack_sequences": _sql_pack_sequences(),
+    "decontaminate": _sql_decontaminate(),
+    "simhash_groups": _sql_simhash_groups(),
+    "cosine_topk": SQL_cosine_topk,
+    "lsh_histogram": _sql_lsh_histogram(),
+    "ann_lsh_topk": _sql_ann_lsh_topk(),
+    "winnow_fingerprints": _sql_winnow_fingerprints(),
+    "embedding_near_dup": _sql_embedding_near_dup(),
+    "adaptive_cell_split": _sql_adaptive_cell_split(),
     "tag_filter_project": SQL_tag_filter_project,
     "id_semi_join_scan": SQL_id_semi_join_scan,
     "version_compaction": SQL_version_compaction,
-    "agg_pricing": SQL_agg_pricing,
-    "join_revenue": SQL_join_revenue,
-    "broadcast_dims": SQL_broadcast_dims,
-    "anti_join_missing": SQL_anti_join_missing,
-    "full_outer_diff": SQL_full_outer_diff,
     "first_seen": SQL_first_seen,
     "endpoint_degree": SQL_endpoint_degree,
     "topk_per_group": SQL_topk_per_group,
     "sessionize": SQL_sessionize,
-    "asof_join": _sql_asof_join(),
     "cell_compact": _sql_cell_compact(),
     "semdedup": _sql_semdedup(),
     "range_join_events": _sql_range_join_events(),
     "dbscan_events": _sql_dbscan_events(),
-    "idw_surface": _sql_idw_surface(),
-    "path_length": _sql_path_length(),
-    "triangle_count": _sql_triangle_count(),
-    "weighted_sample": _sql_weighted_sample(),
-    "bm25_topk": _sql_bm25(),
-    "hll_sketch": _sql_hll_sketch(),
-    "corpus_cube": SQL_corpus_cube,
-    "snap_simplify": _sql_snap_simplify(),
-    "stay_points": _sql_stay_points(),
-    "od_matrix": _sql_od_matrix(),
-    "hotspots": _sql_hotspots(),
-    "issue_counts": SQL_issue_counts,
-    "scalar_pipeline": SQL_scalar_pipeline,
-    "cell_encode_counts": SQL_cell_encode_counts,
-    "tile_rollup_parent": SQL_tile_rollup_parent,
-    "pip_rect_join": SQL_pip_rect_join,
-    "pip_rect_counts": SQL_pip_rect_counts,
     "knn_events": SQL_knn_events,
     "knn_haversine": _sql_knn_haversine(),
     "coverage_observed": SQL_coverage_observed,
+    "pip_rect_join": SQL_pip_rect_join,
+    "pip_rect_counts": SQL_pip_rect_counts,
+    "stay_points": _sql_stay_points(),
+    "triangle_count": _sql_triangle_count(),
+    "weighted_sample": _sql_weighted_sample(),
+    "hll_sketch": _sql_hll_sketch(),
+    "cell_encode_counts": SQL_cell_encode_counts,
+    "tile_rollup_parent": SQL_tile_rollup_parent,
+    "issue_counts": SQL_issue_counts,
+    "scalar_pipeline": SQL_scalar_pipeline,
     "dedup_exact": SQL_dedup_exact,
     "token_quality": _sql_token_quality(),
     "lang_guess": SQL_lang_guess,
@@ -2022,27 +2197,9 @@ ORACLES: dict[str, str] = {
     "source_filter": _sql_source_filter(),
     "ngram_topk": _sql_ngram_topk(),
     "epoch_shard": _sql_epoch_shard(),
-    "substring_cut": _sql_substring_cut(),
-    "minhash_pairs": _sql_minhash_pairs(),
-    "dedup_clusters": _sql_dedup_clusters(),
-    "stratified_sample": _sql_stratified_sample(),
-    "pack_sequences": _sql_pack_sequences(),
-    "decontaminate": _sql_decontaminate(),
-    "corpus_build": _sql_corpus_build(),
-    "simhash_groups": _sql_simhash_groups(),
-    "cosine_topk": SQL_cosine_topk,
-    "lsh_histogram": _sql_lsh_histogram(),
-    "ann_lsh_topk": _sql_ann_lsh_topk(),
-    "winnow_fingerprints": _sql_winnow_fingerprints(),
-    "embedding_near_dup": _sql_embedding_near_dup(),
-    "phash_near_dup": _sql_phash_near_dup(),
-    "adaptive_cell_split": _sql_adaptive_cell_split(),
-    "important_features": SQL_important_features,
-    "cdc_merge": SQL_cdc_merge,
-    "admin_diff": SQL_admin_diff,
-    "polygon_assembly": AF.oracle_sql(),
-    "coastline_issues": CF.oracle_sql(),
-    "images_flagship": SQL_images_flagship,
-    "incremental_flagship": _sql_incremental_flagship(),
-    "expected_admins_corpus": SQL_expected_admins_corpus,
+    "agg_pricing": SQL_agg_pricing,
+    "join_revenue": SQL_join_revenue,
+    "broadcast_dims": SQL_broadcast_dims,
+    "anti_join_missing": SQL_anti_join_missing,
+    "full_outer_diff": SQL_full_outer_diff,
 }

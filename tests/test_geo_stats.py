@@ -203,3 +203,37 @@ def test_hotspots_planted_blob(spark):
         want.astype({"gx": "int64", "gy": "int64", "n": "int64",
                      "wsum": "int64", "wn": "int64"}),
         check_names=False)
+
+
+def test_od_matrix_equal_enter_ts_deterministic(spark):
+    """Two visits sharing an enter timestamp (fixes at one ts across
+    cells) must order deterministically (cell tiebreak) — same flows
+    under any partitioning."""
+    from pyspark.sql import functions as F
+
+    from osmnightwatch_spark.operators.geo_stats import od_matrix
+
+    # user 1 dwells 2h at A, then two same-ts fixes start dwells at
+    # B and C (equal enter_ts)
+    rows = []
+    for m in range(0, 121, 10):
+        rows.append((1, f"2024-01-01 00:{0:02d}:00", m, 10.0, 10.0))
+    rows = [(1, f"2024-01-01 {h:02d}:{mi:02d}:00", i, lon, lat)
+            for i, (h, mi, lon, lat) in enumerate(
+                [(0, 0, 10.0, 10.0), (0, 30, 10.0, 10.0), (2, 0, 10.0, 10.0),
+                 # same enter ts for the B and C dwell starts:
+                 (5, 0, 60.0, 10.0), (5, 0, 110.0, 10.0),
+                 (7, 0, 60.0, 10.0), (7, 1, 110.0, 10.0)])]
+    base = None
+    for parts in (1, 4, 8):
+        pts = spark.createDataFrame(
+            rows, "user_id long, ts string, event_id long, "
+            "lon double, lat double"
+        ).select("user_id", F.to_timestamp("ts").alias("ts"),
+                 "event_id", "lon", "lat").repartition(parts)
+        got = sorted(
+            (r.origin_cell, r.dest_cell, r.n_trips, r.n_entities)
+            for r in od_matrix(pts, res=4, gap_s=86400,
+                               min_stay_s=3600).collect())
+        base = got if base is None else base
+        assert got == base

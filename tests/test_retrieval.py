@@ -58,3 +58,23 @@ def test_bm25_unseen_term_and_dedup_terms(spark):
     g2 = bm25_topk(df, "a zzz", k=2).toPandas()
     pd.testing.assert_frame_equal(g1, g2)
     assert (g1.score > 0).all()
+
+
+def test_bm25_hostile_terms_and_empty_corpus(spark):
+    """Query terms named like internal columns ('_doc', '_len') or
+    containing '.' must not collide with the pivot (positional tf_i
+    names); an empty corpus raises a clear error, not ZeroDivision."""
+    import pytest
+
+    from osmnightwatch_spark.operators.retrieval import bm25_topk
+
+    df = spark.createDataFrame(
+        [(1, "_doc x.y _len"), (2, "_doc _doc plain"), (3, "other words")],
+        "doc_id long, text string")
+    out = bm25_topk(df, "_doc x.y _len", k=3).collect()
+    assert [r.doc_id for r in out[:2]] == [1, 2]  # doc 1 hits all 3 terms
+    assert out[2].score == 0.0
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError, match="empty"):
+        bm25_topk(empty, "x")

@@ -74,3 +74,61 @@ def test_dp_deterministic_under_repartition(spark):
     b = (SY.dp_simplify(df.repartition(11), 3.0)
          .orderBy("way_id", "seq_out").toPandas())
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_snap_boundary_vertices_clamped(spark):
+    """lon=180 / lat=90 floor to grid index n — the center must clamp
+    to the last cell (consistent with the dedup cell), never emit
+    lat > 90 / lon > 180."""
+    import duckdb
+
+    from osmnightwatch_spark.operators.simplify import (snap_simplify,
+                                                        snap_simplify_sql)
+
+    pts = spark.createDataFrame(
+        [(1, 0, 180.0, 90.0), (1, 1, -180.0, -90.0), (1, 2, 179.9, 89.9)],
+        "way_id long, seq long, lon double, lat double")
+    out = snap_simplify(pts, res=3).collect()
+    assert all(-180.0 <= r.lon <= 180.0 and -90.0 <= r.lat <= 90.0
+               for r in out)
+    # (180, 90) and (179.9, 89.9) share the clamped last cell -> the
+    # run collapses to its first vertex; (-180, -90) survives between
+    assert len(out) == 3
+    sql = snap_simplify_sql(
+        "SELECT * FROM (VALUES (1, 0, 180.0, 90.0), (1, 1, -180.0, -90.0), "
+        "(1, 2, 179.9, 89.9)) AS t(way_id, seq, lon, lat)", res=3)
+    exp = duckdb.sql(sql).fetchall()
+    assert sorted((r.way_id, r.seq_out, r.lon, r.lat) for r in out) == \
+        sorted(exp)
+
+
+def test_dp_twin_fixpoint_and_kernel_equality(spark):
+    """The unrolled BFS twin must have CONVERGED at the pinned round
+    count (rounds vs rounds+1 identical — otherwise the oracle is a
+    truncation, not DP) and equal the numpy kernel bit-for-bit."""
+    import duckdb
+
+    from osmnightwatch_spark.operators.simplify import (dp_simplify,
+                                                        dp_simplify_sql)
+
+    # jagged deterministic track: enough nested splits to need depth
+    vals = ", ".join(
+        f"(1, {i}, {(i * 37 % 101) / 3.0!r}, {(i * 53 % 89) / 4.0!r})"
+        for i in range(120))
+    # CAST: DuckDB types VALUES decimals as DECIMAL, whose squares
+    # overflow — the real query reads parquet DOUBLEs
+    src = (f"SELECT way_id, seq, CAST(lon AS DOUBLE) AS lon, "
+           f"CAST(lat AS DOUBLE) AS lat "
+           f"FROM (VALUES {vals}) AS t(way_id, seq, lon, lat)")
+    eps = 1.5
+    a = duckdb.sql(dp_simplify_sql(src, eps, rounds=18)).fetchall()
+    b = duckdb.sql(dp_simplify_sql(src, eps, rounds=19)).fetchall()
+    assert sorted(a) == sorted(b)  # fixpoint reached by 18
+
+    pts = spark.createDataFrame(
+        [(1, i, (i * 37 % 101) / 3.0, (i * 53 % 89) / 4.0)
+         for i in range(120)],
+        "way_id long, seq long, lon double, lat double")
+    got = sorted((r.way_id, r.seq_out, r.lon, r.lat)
+                 for r in dp_simplify(pts, eps).collect())
+    assert got == sorted(a)

@@ -5,7 +5,14 @@ on DuckDB over the same sf dir; compares row count, column names and
 an order-insensitive value hash (columns sorted by name, rows sorted,
 values stringified with float rounding). Usage:
 
-    python tools/compare_oracle.py [sf_dir] [query ...]
+    python tools/compare_oracle.py [--strict] [sf_dir] [query ...]
+
+``--strict`` replicates the DRIVER's exact stringified-value hash:
+floats round to 9 dp then every value stringifies as-is — NO
+int-cast normalization and NO rtol retry — so a dtype drift the
+driver would flag (e.g. DuckDB SUM(BIGINT) -> HUGEINT -> pandas
+float64 "148.0" vs Spark int64 "148") fails here too instead of
+being absorbed by check_dtype=False.
 """
 
 from __future__ import annotations
@@ -41,9 +48,25 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+def strict_strings(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-hash emulation: sort columns, round floats to 9 dp,
+    stringify EVERYTHING (dtype differences become string diffs)."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: v.tolist() if isinstance(v, np.ndarray) else v)
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(9)
+        df[c] = df[c].map(lambda v: str(v))
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--strict"]
+    strict = "--strict" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as E
     from osmnightwatch_spark.session import get_spark
@@ -76,12 +99,15 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {exc}")
             continue
-        g, x = norm(got), norm(exp)
+        if strict:
+            g, x = strict_strings(got), strict_strings(exp)
+        else:
+            g, x = norm(got), norm(exp)
         ok_cols = list(g.columns) == list(x.columns)
         ok_rows = len(g) == len(x)
         ok_vals = ok_cols and ok_rows and g.equals(x)
-        if not ok_vals and ok_cols and ok_rows:
-            # float tolerance retry
+        if not ok_vals and ok_cols and ok_rows and not strict:
+            # float tolerance retry (non-strict only)
             try:
                 pd.testing.assert_frame_equal(g, x, check_dtype=False,
                                               rtol=1e-9, atol=1e-9)
