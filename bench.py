@@ -333,6 +333,32 @@ def main() -> None:
             centroids=centroids, nprobe=4,
         ).count(),
     )
+
+    # ANN recall@k vs the brute oracle at the EXACT settings timed
+    # above (hot-bucket caps and nprobe both trade recall silently —
+    # the artifact should carry the number, VERDICT r4 #6). NOTE the
+    # synthetic embeddings are uniform-random (cosine concentration:
+    # weak neighbor structure), so these are the ADVERSARIAL-data
+    # numbers; the >=0.9 floor on clustered data is pinned by
+    # tests/test_dedup_similarity_text.py::
+    # test_ann_recall_floor_at_documented_settings.
+    def _pairs(df):
+        return set(map(tuple,
+                       df.select("probe_id", "neighbor_id").collect()))
+
+    ann_recall = {}
+    for rk in (5, 10):
+        truth = _pairs(cosine_topk_brute(emb, F.col("vec_id") % 50 == 0, k=rk))
+        lsh_p = _pairs(lsh_topk(
+            emb, F.col("vec_id") % 50 == 0, k=rk, dims=dims,
+            planes=planes_for(n_emb, target_bucket=64), tables=2,
+            max_bucket=50 * 64))
+        ivf_p = _pairs(ivf_topk(
+            emb, F.col("vec_id") % 50 == 0, k=rk, dims=dims,
+            centroids=centroids, nprobe=4))
+        ann_recall[f"lsh_at_{rk}"] = round(len(truth & lsh_p) / len(truth), 4)
+        ann_recall[f"ivf_at_{rk}"] = round(len(truth & ivf_p) / len(truth), 4)
+
     spark.stop()
 
     def _inband_median(ev):
@@ -360,6 +386,9 @@ def main() -> None:
         "load_at_start": load_at_start,
         "load_inband_median": _inband_median(load_evidence),
         "load_evidence": load_evidence,
+        # recall@k of the timed ANN paths vs the brute oracle on the
+        # (adversarial, unstructured) synthetic embeddings
+        "ann_recall": ann_recall,
     }
 
     if scaling is not None:

@@ -306,3 +306,61 @@ def weighted_sample_sql(table: str, n: int, weight_col: str,
         f"WHERE {weight_col} > 0 "
         f"ORDER BY skey DESC, {id_col} LIMIT {int(n)}"
     )
+
+
+def geo_balanced_sample(df: DataFrame, res: int, per_cell: int,
+                        id_col: str = "image_id",
+                        lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """Geographic de-biasing sample: keep at most ``per_cell`` rows per
+    grid cell at ``res``, chosen by deterministic md5 rank — the
+    training-corpus counter to city-density skew (a planet image
+    table is 90% megacities; a geo-balanced epoch caps every cell so
+    rural cells aren't drowned). Output = (id, cell, cell_rank).
+
+    Determinism contract like :func:`stratified_sample`: membership is
+    a pure function of (id, cell occupancy) — rerun/resume/
+    repartition-stable, auditable per row. Scale shape: ONE hash
+    shuffle on the cell + a bounded per-cell top-k window (rank stops
+    scanning at per_cell only logically — the window is a full sort
+    per cell, but cells are the SKEW UNIT the cap itself bounds
+    downstream; a megacity cell sorts its own rows in one task, which
+    is exactly the work the sample exists to discard). For hot-cell
+    sorts beyond task memory, pre-thin with a salted per-partition
+    top-k (two-phase top-k) — composes without changing semantics.
+    """
+    from pyspark.sql import Window
+
+    from ..functions import cells as C
+
+    if per_cell < 1:
+        raise ValueError(f"per_cell must be >= 1, got {per_cell}")
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy("_cell").orderBy("_h", id_col)
+    return (
+        df.select(F.col(id_col),
+                  C.cell_col(F.col(lon), F.col(lat), res).alias("_cell"),
+                  h.alias("_h"))
+        .withColumn("cell_rank", F.row_number().over(w))
+        .where(F.col("cell_rank") <= per_cell)
+        .select(id_col, F.col("_cell").alias("cell"),
+                F.col("cell_rank").cast("long").alias("cell_rank"))
+    )
+
+
+def geo_balanced_sample_sql(points_sql: str, res: int, per_cell: int,
+                            id_col: str = "image_id",
+                            lon: str = "lon", lat: str = "lat") -> str:
+    """DuckDB twin of :func:`geo_balanced_sample` (same cell encode,
+    same md5 rank, same cap)."""
+    from ..functions import cells as C
+
+    cell = C.cell_sql(lon, lat, res)
+    h = f"md5(CAST({id_col} AS VARCHAR))"
+    return f"""
+WITH c AS (SELECT {id_col}, {cell} AS cell, {h} AS _h FROM ({points_sql})),
+r AS (SELECT {id_col}, cell,
+             CAST(ROW_NUMBER() OVER (PARTITION BY cell ORDER BY _h, {id_col})
+                  AS BIGINT) AS cell_rank
+      FROM c)
+SELECT {id_col}, cell, cell_rank FROM r WHERE cell_rank <= {int(per_cell)}
+""".strip()

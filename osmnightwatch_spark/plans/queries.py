@@ -1860,6 +1860,101 @@ UNION ALL SELECT id, val FROM compacted WHERE op <> 'D'
 """.strip()
 
 
+def q_dsir_sample(spark, sf_dir):
+    """DSIR importance resampling (``operators/dsir.py``, Xie et al.
+    2023): hashed unigram+bigram bucket models of a TARGET slice
+    (lang='en' docs) vs the RAW pool (all docs), integer-quantized
+    log-importance per doc, deterministic Gumbel-top-150 resample.
+    The oracle re-derives training, scoring and the Gumbel key from
+    scratch in SQL."""
+    from ..operators.dsir import dsir_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dsir_sample(d, d.where(F.col("lang") == "en"), m=150)
+
+
+def _sql_dsir_sample() -> str:
+    from ..operators.dsir import dsir_sample_sql
+
+    return dsir_sample_sql(
+        "SELECT * FROM documents",
+        "SELECT * FROM documents WHERE lang = 'en'", m=150)
+
+
+def _rects_df(spark, sf_dir, mod, idc, half_w_base, half_h_base):
+    """Deterministic rectangle set from the events geotag: box centered
+    at the geotag with id-derived half-extents, lon clamped at ±180
+    (no wrap — the covering convention); ONE formula shared with
+    :func:`_rects_sql`."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("event_id") % mod == 0)
+    lon, lat = _geo_lonlat(F.col("event_id"))
+    hw = F.lit(half_w_base) + (F.col("event_id") % 7).cast("double") / 2.0
+    hh = F.lit(half_h_base) + (F.col("event_id") % 5).cast("double") / 4.0
+    return ev.select(
+        F.col("event_id").alias(idc),
+        F.greatest(F.lit(-180.0), lon - hw).alias("lon0"),
+        F.least(F.lit(180.0), lon + hw).alias("lon1"),
+        (lat - hh).alias("lat0"), (lat + hh).alias("lat1"),
+    )
+
+
+def _rects_sql(mod, idc, half_w_base, half_h_base):
+    return (
+        f"SELECT event_id AS {idc}, "
+        f"GREATEST(-180.0, {_GEO_LON_SQL} - ({half_w_base!r} "
+        f"+ CAST(event_id % 7 AS DOUBLE) / 2.0)) AS lon0, "
+        f"LEAST(180.0, {_GEO_LON_SQL} + ({half_w_base!r} "
+        f"+ CAST(event_id % 7 AS DOUBLE) / 2.0)) AS lon1, "
+        f"{_GEO_LAT_SQL} - ({half_h_base!r} "
+        f"+ CAST(event_id % 5 AS DOUBLE) / 4.0) AS lat0, "
+        f"{_GEO_LAT_SQL} + ({half_h_base!r} "
+        f"+ CAST(event_id % 5 AS DOUBLE) / 4.0) AS lat1 "
+        f"FROM events WHERE event_id % {mod} = 0"
+    )
+
+
+def q_rect_overlay(spark, sf_dir):
+    """Vector×vector overlay join (``operators/overlay.py``): all
+    positively-intersecting pairs between two event-derived rectangle
+    sets with the intersection box + planar area. Engine path is the
+    cell-cover equi-join with owner-cell dedup (no distinct); oracle
+    is the brute cross join with identical predicate/arithmetic."""
+    from ..operators.overlay import rect_overlay_join
+
+    a = _rects_df(spark, sf_dir, 20, "a_id", 0.5, 0.25)
+    b = _rects_df(spark, sf_dir, 7, "b_id", 0.25, 0.125)
+    return rect_overlay_join(a, b, res=4)
+
+
+def _sql_rect_overlay() -> str:
+    from ..operators.overlay import rect_overlay_join_sql
+
+    return rect_overlay_join_sql(
+        _rects_sql(20, "a_id", 0.5, 0.25),
+        _rects_sql(7, "b_id", 0.25, 0.125))
+
+
+def q_geo_balanced(spark, sf_dir):
+    """Geo-balanced sampling (``sampling.geo_balanced_sample``): cap
+    every res-4 cell at 5 events by deterministic md5 rank — the
+    geographic de-biasing draw a planet-scale image corpus needs
+    (megacity cells dominate otherwise). One cell shuffle + one
+    bounded window."""
+    from ..operators.sampling import geo_balanced_sample
+
+    pts = _events_geo(spark, sf_dir).withColumnRenamed("event_id", "image_id")
+    return geo_balanced_sample(pts, res=4, per_cell=5)
+
+
+def _sql_geo_balanced() -> str:
+    from ..operators.sampling import geo_balanced_sample_sql
+
+    pts = (f"SELECT event_id AS image_id, {_GEO_LON_SQL} AS lon, "
+           f"{_GEO_LAT_SQL} AS lat FROM events")
+    return geo_balanced_sample_sql(pts, res=4, per_cell=5)
+
+
 def q_stay_points(spark, sf_dir):
     """Stay-point detection over per-user event tracks: same-cell
     (res 6) consecutive fixes with <= 1h gaps form a visit; visits
@@ -2054,6 +2149,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_bucketed": q_asof_bucketed,
     "dp_simplify": q_dp_simplify,
     "catchup_ladder": q_catchup_ladder,
+    "dsir_sample": q_dsir_sample,
+    "rect_overlay": q_rect_overlay,
+    "geo_balanced": q_geo_balanced,
     "images_flagship": q_images_flagship,
     "polygon_assembly": q_polygon_assembly,
     "cdc_merge": q_cdc_merge,
@@ -2083,11 +2181,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "adaptive_cell_split": q_adaptive_cell_split,
     "tag_filter_project": q_tag_filter_project,
     "id_semi_join_scan": q_id_semi_join_scan,
-    "version_compaction": q_version_compaction,
-    "first_seen": q_first_seen,
     "endpoint_degree": q_endpoint_degree,
     "topk_per_group": q_topk_per_group,
-    "sessionize": q_sessionize,
     "cell_compact": q_cell_compact,
     "semdedup": q_semdedup,
     "range_join_events": q_range_join_events,
@@ -2097,6 +2192,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "coverage_observed": q_coverage_observed,
     "pip_rect_join": q_pip_rect_join,
     "pip_rect_counts": q_pip_rect_counts,
+    "version_compaction": q_version_compaction,
+    "first_seen": q_first_seen,
+    "sessionize": q_sessionize,
     "stay_points": q_stay_points,
     "triangle_count": q_triangle_count,
     "weighted_sample": q_weighted_sample,
@@ -2133,6 +2231,9 @@ ORACLES: dict[str, str] = {
     "asof_bucketed": _sql_asof_join(),
     "dp_simplify": _sql_dp_simplify(),
     "catchup_ladder": _sql_catchup_ladder(),
+    "dsir_sample": _sql_dsir_sample(),
+    "rect_overlay": _sql_rect_overlay(),
+    "geo_balanced": _sql_geo_balanced(),
     "images_flagship": SQL_images_flagship,
     "polygon_assembly": AF.oracle_sql(),
     "cdc_merge": SQL_cdc_merge,
@@ -2162,11 +2263,8 @@ ORACLES: dict[str, str] = {
     "adaptive_cell_split": _sql_adaptive_cell_split(),
     "tag_filter_project": SQL_tag_filter_project,
     "id_semi_join_scan": SQL_id_semi_join_scan,
-    "version_compaction": SQL_version_compaction,
-    "first_seen": SQL_first_seen,
     "endpoint_degree": SQL_endpoint_degree,
     "topk_per_group": SQL_topk_per_group,
-    "sessionize": SQL_sessionize,
     "cell_compact": _sql_cell_compact(),
     "semdedup": _sql_semdedup(),
     "range_join_events": _sql_range_join_events(),
@@ -2176,6 +2274,9 @@ ORACLES: dict[str, str] = {
     "coverage_observed": SQL_coverage_observed,
     "pip_rect_join": SQL_pip_rect_join,
     "pip_rect_counts": SQL_pip_rect_counts,
+    "version_compaction": SQL_version_compaction,
+    "first_seen": SQL_first_seen,
+    "sessionize": SQL_sessionize,
     "stay_points": _sql_stay_points(),
     "triangle_count": _sql_triangle_count(),
     "weighted_sample": _sql_weighted_sample(),
