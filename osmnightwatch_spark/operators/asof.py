@@ -157,21 +157,30 @@ def asof_join_bucketed(
     steady-state loop, ``Program.cs:75-117``, is exactly the
     single-hot-key shape at 100×).
 
-    Plan: (1) one row_number window per ``(key, slice)`` picks each
-    ref slice's *closer* — its latest ``(t, tiebreak)`` ref row;
-    (2) a tiny recursive :func:`asof_join` on the slice index (strict:
-    an earlier-slice ref is ALWAYS strictly before any probe in a
-    later slice) assigns every probed ``(key, slice)`` exactly ONE
-    carry-in boundary ref — O(keys × occupied-slices) rows, bounded
-    by the time span, never by corpus size; (3) in-slice refs
-    (semi-joined to probed slices) union the carry-ins and run the
-    standard union+window partitioned by the COMPOSITE ``(key,
-    slice)`` — no partition ever receives a whole key.
+    Plan: (1) one ``max_by`` AGGREGATION per ``(key, slice)`` picks
+    each ref slice's *closer* — its latest ``(t, tiebreak)`` ref row.
+    An agg, not a window: partial aggregation collapses every slice
+    map-side, so the closers exchange carries one row per occupied
+    (key, slice), not per ref. (2) a tiny recursive :func:`asof_join`
+    on the slice index (strict: an earlier-slice ref is ALWAYS
+    strictly before any probe in a later slice) assigns every probed
+    ``(key, slice)`` exactly ONE carry-in boundary ref — O(keys ×
+    occupied-slices) rows, bounded by the time span, never by corpus
+    size; (3) refs union the carry-ins and run the standard
+    union+window partitioned by the COMPOSITE ``(key, slice)`` — no
+    partition ever receives a whole key.
 
     ``slice_width`` is in ``t``'s own units (epoch seconds for the
     usual integer-epoch ``t``). Choose it so a slice of the hottest
     key fits one task: e.g. rows_per_key_per_day ≈ 10M → hourly
     slices ≈ 400k rows/partition.
+
+    Cost trade, measured (tools/r5_scale_study.py at 3.75M rows,
+    local[32]): ~2 ref shuffles vs the plain path's 1, so at sizes
+    where one task can still sort the hottest key the plain path wins
+    on wall clock; bucketing is the CLUSTER-scale path — a 10⁹-row
+    key cannot sort on one task at all, and here no task ever sees
+    more than a slice.
     """
     b = "_asof_slice"
     kb = "_asof_kb"
@@ -182,19 +191,24 @@ def asof_join_bucketed(
     pb = probes.withColumn(b, slice_of)
     rb = refs.withColumn(b, slice_of)
 
-    # (1) per-(key, slice) closer — keep the whole ref row.
-    order = [F.col(t).desc()]
+    # (1) per-(key, slice) closer — the max_by((t, tiebreak)) ref row,
+    # carried whole as a struct (map-side-combining agg).
+    carry_payload = list(dict.fromkeys(
+        [t, *payload] + ([tiebreak] if tiebreak is not None else [])))
+    ord_fields = [F.col(t).alias("_t")]
     if tiebreak is not None:
-        order.append(F.col(tiebreak).desc())
-    wc = Window.partitionBy(key, b).orderBy(*order)
-    closers = (rb.withColumn("_rn", F.row_number().over(wc))
-               .where(F.col("_rn") == 1).drop("_rn"))
+        ord_fields.append(F.col(tiebreak).alias("_tb"))
+    closers = (
+        rb.groupBy(key, b)
+        .agg(F.max_by(
+            F.struct(*[F.col(c).alias(c) for c in carry_payload]),
+            F.struct(*ord_fields)).alias("_c"))
+        .select(key, b, *[F.col(f"_c.{c}").alias(c) for c in carry_payload])
+    )
 
     # (2) carry-in: for each probed slice, the closer of the latest
     # EARLIER slice (strict on the slice index — a ref in slice < B has
     # t < B·width ≤ any probe t in B, valid under both strict modes).
-    carry_payload = list(dict.fromkeys(
-        [t, *payload] + ([tiebreak] if tiebreak is not None else [])))
     pslices = pb.select(key, b).distinct()
     carry = asof_join(pslices, closers, key=key, t=b,
                       payload=carry_payload, strict=True, prefix="_ci_")
@@ -203,11 +217,13 @@ def asof_join_bucketed(
         *[F.col(f"_ci_{c}").alias(c) for c in carry_payload],
     )
 
-    # (3) in-slice refs only where probes exist; union carry-ins;
-    # one window over the composite (key, slice) partition.
+    # (3) refs union the carry-ins; one window over the composite
+    # (key, slice) partition. Refs in probe-less slices fall out at
+    # the probe filter — pre-pruning them with a semi-join costs a
+    # third ref shuffle and only pays when probes are very sparse.
     rb_live = (rb.select(key, b, t, *[c for c in carry_payload if c != t])
-               .join(pslices, [key, b], "left_semi")
-               .unionByName(carry_refs))
+               .unionByName(carry_refs.select(
+                   key, b, t, *[c for c in carry_payload if c != t])))
     pb2 = pb.withColumn(kb, F.struct(key, b))
     rb2 = rb_live.withColumn(kb, F.struct(key, b))
     out = asof_join(pb2, rb2, key=kb, t=t, payload=payload,

@@ -1955,6 +1955,34 @@ def _sql_geo_balanced() -> str:
     return geo_balanced_sample_sql(pts, res=4, per_cell=5)
 
 
+def q_colocation(spark, sf_dir):
+    """Spatiotemporal co-location join (``operators/colocation.py``):
+    unordered user pairs sharing a res-6 cell within the same daily
+    window, with bucket/sighting evidence counts. Track model: user
+    groups (user_id mod 5) share a per-day location, so co-travelers
+    exist by construction (the raw geotag hash-spread never
+    collides)."""
+    from ..operators.colocation import colocation_pairs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    loc = (F.col("user_id") % 5) * F.lit(1000003) + F.floor(
+        F.unix_timestamp("ts") / F.lit(86400))
+    lon, lat = _geo_lonlat(loc)
+    pts = ev.select("user_id", "ts", lon.alias("lon"), lat.alias("lat"))
+    return colocation_pairs(pts, res=6, window_s=86400)
+
+
+def _sql_colocation() -> str:
+    from ..operators.colocation import colocation_pairs_sql
+
+    loc = ("((user_id % 5) * 1000003 + "
+           "CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 86400) AS BIGINT))")
+    lon_sql, lat_sql = _geo_lonlat_sql(loc)
+    pts = (f"SELECT user_id, ts, {lon_sql} AS lon, {lat_sql} AS lat "
+           f"FROM events")
+    return colocation_pairs_sql(pts, res=6, window_s=86400)
+
+
 def q_stay_points(spark, sf_dir):
     """Stay-point detection over per-user event tracks: same-cell
     (res 6) consecutive fixes with <= 1h gaps form a visit; visits
@@ -2152,6 +2180,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_sample": q_dsir_sample,
     "rect_overlay": q_rect_overlay,
     "geo_balanced": q_geo_balanced,
+    "colocation": q_colocation,
     "images_flagship": q_images_flagship,
     "polygon_assembly": q_polygon_assembly,
     "cdc_merge": q_cdc_merge,
@@ -2185,13 +2214,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_per_group": q_topk_per_group,
     "cell_compact": q_cell_compact,
     "semdedup": q_semdedup,
-    "range_join_events": q_range_join_events,
     "dbscan_events": q_dbscan_events,
     "knn_events": q_knn_events,
     "knn_haversine": q_knn_haversine,
     "coverage_observed": q_coverage_observed,
     "pip_rect_join": q_pip_rect_join,
     "pip_rect_counts": q_pip_rect_counts,
+    "range_join_events": q_range_join_events,
     "version_compaction": q_version_compaction,
     "first_seen": q_first_seen,
     "sessionize": q_sessionize,
@@ -2234,6 +2263,7 @@ ORACLES: dict[str, str] = {
     "dsir_sample": _sql_dsir_sample(),
     "rect_overlay": _sql_rect_overlay(),
     "geo_balanced": _sql_geo_balanced(),
+    "colocation": _sql_colocation(),
     "images_flagship": SQL_images_flagship,
     "polygon_assembly": AF.oracle_sql(),
     "cdc_merge": SQL_cdc_merge,
@@ -2267,13 +2297,13 @@ ORACLES: dict[str, str] = {
     "topk_per_group": SQL_topk_per_group,
     "cell_compact": _sql_cell_compact(),
     "semdedup": _sql_semdedup(),
-    "range_join_events": _sql_range_join_events(),
     "dbscan_events": _sql_dbscan_events(),
     "knn_events": SQL_knn_events,
     "knn_haversine": _sql_knn_haversine(),
     "coverage_observed": SQL_coverage_observed,
     "pip_rect_join": SQL_pip_rect_join,
     "pip_rect_counts": SQL_pip_rect_counts,
+    "range_join_events": _sql_range_join_events(),
     "version_compaction": SQL_version_compaction,
     "first_seen": SQL_first_seen,
     "sessionize": SQL_sessionize,

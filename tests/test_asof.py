@@ -186,3 +186,30 @@ def test_asof_bucketed_hot_key_within_2x_of_uniform(spark):
     uniform = min(run(False), run(False))
     skew = min(run(True), run(True))
     assert skew <= 2.0 * uniform + 2.0, (skew, uniform)
+
+
+def test_asof_matches_python_brute_on_random_frames(spark):
+    """Independent third implementation: a driver-side brute-force
+    as-of (max_by over (t, tiebreak) among refs <= t) must equal the
+    union+window engine on random frames, both strict modes."""
+    probes, refs = _random_frames(spark, n_probes=200, n_refs=350,
+                                  keys=5, t_span=400)
+    p_rows = probes.collect()
+    r_rows = refs.collect()
+    by_key = {}
+    for r in r_rows:
+        by_key.setdefault(r.k, []).append(r)
+    for strict in (False, True):
+        out = asof_join(probes, refs, key="k", t="te",
+                        payload=["rid", "val"], tiebreak="rid",
+                        strict=strict).collect()
+        got = {r.pid: (r.ref_rid, r.ref_val, r.ref_te) for r in out}
+        assert len(got) == len(p_rows)
+        for p in p_rows:
+            cands = [r for r in by_key.get(p.k, [])
+                     if (r.te < p.te if strict else r.te <= p.te)]
+            want = (None, None, None)
+            if cands:
+                best = max(cands, key=lambda r: (r.te, r.rid))
+                want = (best.rid, best.val, best.te)
+            assert got[p.pid] == want, (p.pid, strict)
