@@ -410,3 +410,86 @@ SELECT gx, gy, n, wsum, wn,
                  / {float(m - 1)!r})) AS z
 FROM counts JOIN hood USING (gx, gy), stats
 """.strip()
+
+
+def with_speed(points: DataFrame, vmax_mps: float = 70.0,
+               entity: str = "user_id", ts: str = "ts",
+               tiebreak: str = "event_id",
+               lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """GPS-trace cleaning: per-fix inbound speed + impossible-speed
+    flag → ``(entity, tiebreak, ts, dt_s, hop_mm, speed_mmps,
+    is_anomaly)`` — the standard pre-filter before any trajectory op
+    (stay points, OD flows, path length) at planet scale: a teleporting
+    fix poisons every window after it.
+
+    Determinism: the hop is the same floor-quantized integer
+    millimetre great-circle distance as :func:`path_length`; ``dt_s``
+    is an integer epoch-second difference; ``speed_mmps = hop_mm /
+    dt_s`` divides two exact integers (identical double on both
+    engines). Anomaly = speed above ``vmax_mps`` OR a re-fix at the
+    same timestamp that MOVED (dt 0, hop > 0 — division-free).
+    First fixes are never anomalous (no inbound hop).
+
+    Scale shape: identical to :func:`path_length` — one hash shuffle
+    on the entity, one ordered window.
+    """
+    w = Window.partitionBy(entity).orderBy(ts, tiebreak)
+    vmax_mmps = float(vmax_mps) * MM
+    hops = points.select(
+        F.col(entity), F.col(ts), F.col(tiebreak),
+        F.col(lon).alias("_lon"), F.col(lat).alias("_lat"),
+        F.unix_timestamp(F.col(ts)).alias("_t"),
+        F.lag(lon).over(w).alias("_plon"),
+        F.lag(lat).over(w).alias("_plat"),
+        F.lag(F.unix_timestamp(F.col(ts))).over(w).alias("_pt"),
+    )
+    hop_mm = F.when(
+        F.col("_plon").isNotNull(),
+        F.floor(_dist_haversine(F.col("_plon"), F.col("_plat"),
+                                F.col("_lon"), F.col("_lat")) * F.lit(MM)))
+    dt = (F.col("_t") - F.col("_pt")).alias("dt_s")
+    speed = F.when((F.col("_pt").isNotNull()) & (F.col("_t") > F.col("_pt")),
+                   hop_mm.cast("double") / (F.col("_t") - F.col("_pt"))
+                   .cast("double"))
+    anom = F.when(F.col("_pt").isNull(), F.lit(False)).otherwise(
+        ((F.col("_t") > F.col("_pt")) & (speed > F.lit(vmax_mmps)))
+        | ((F.col("_t") == F.col("_pt")) & (hop_mm > 0)))
+    return hops.select(
+        entity, tiebreak, ts,
+        (F.col("_t") - F.col("_pt")).alias("dt_s"),
+        hop_mm.alias("hop_mm"),
+        speed.alias("speed_mmps"),
+        anom.alias("is_anomaly"),
+    )
+
+
+def with_speed_sql(points_sql: str, vmax_mps: float = 70.0,
+                   entity: str = "user_id", ts: str = "ts",
+                   tiebreak: str = "event_id",
+                   lon: str = "lon", lat: str = "lat") -> str:
+    """DuckDB twin of :func:`with_speed` (same lag window, same
+    floor-quantized hop, same integer dt, same flag logic)."""
+    hav = haversine_sql("_plon", "_plat", lon, lat)
+    vmax_mmps = float(vmax_mps) * MM
+    hop = f"CAST(FLOOR({hav} * {MM!r}) AS BIGINT)"
+    return f"""
+WITH hops AS (
+  SELECT {entity}, {tiebreak}, {ts}, {lon}, {lat},
+         CAST(FLOOR(epoch({ts})) AS BIGINT) AS _t,
+         lag({lon}) OVER w AS _plon, lag({lat}) OVER w AS _plat,
+         lag(CAST(FLOOR(epoch({ts})) AS BIGINT)) OVER w AS _pt
+  FROM ({points_sql})
+  WINDOW w AS (PARTITION BY {entity} ORDER BY {ts}, {tiebreak}))
+SELECT {entity}, {tiebreak}, {ts}, _t - _pt AS dt_s,
+       CASE WHEN _plon IS NOT NULL THEN {hop} END AS hop_mm,
+       CASE WHEN _pt IS NOT NULL AND _t > _pt
+            THEN CAST(CASE WHEN _plon IS NOT NULL THEN {hop} END AS DOUBLE)
+                 / CAST(_t - _pt AS DOUBLE) END AS speed_mmps,
+       CASE WHEN _pt IS NULL THEN FALSE
+            ELSE (_t > _pt AND CAST(CASE WHEN _plon IS NOT NULL THEN {hop} END
+                                    AS DOUBLE) / CAST(_t - _pt AS DOUBLE)
+                               > {vmax_mmps!r})
+                 OR (_t = _pt AND CASE WHEN _plon IS NOT NULL THEN {hop} END > 0)
+            END AS is_anomaly
+FROM hops
+""".strip()

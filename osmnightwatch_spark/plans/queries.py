@@ -1983,6 +1983,66 @@ def _sql_colocation() -> str:
     return colocation_pairs_sql(pts, res=6, window_s=86400)
 
 
+def q_speed_filter(spark, sf_dir):
+    """GPS-trace cleaning (``geo_stats.with_speed``): per-fix inbound
+    speed + impossible-speed flag over the slow per-(user, day) track
+    — day-boundary relocations exceed 70 m/s and flag as anomalies,
+    intra-day fixes are stationary. One entity window."""
+    from ..operators.geo_stats import with_speed
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    loc = F.col("user_id") * F.lit(1000003) + F.floor(
+        F.unix_timestamp("ts") / F.lit(86400))
+    lon, lat = _geo_lonlat(loc)
+    pts = ev.select("user_id", "ts", "event_id",
+                    lon.alias("lon"), lat.alias("lat"))
+    return with_speed(pts, vmax_mps=70.0)
+
+
+def _sql_speed_filter() -> str:
+    from ..operators.geo_stats import with_speed_sql
+
+    loc = ("(user_id * 1000003 + "
+           "CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 86400) AS BIGINT))")
+    lon, lat = _geo_lonlat_sql(loc)
+    pts = (f"SELECT user_id, ts, event_id, {lon} AS lon, "
+           f"{lat} AS lat FROM events")
+    return with_speed_sql(pts, vmax_mps=70.0)
+
+
+def q_hausdorff(spark, sf_dir):
+    """Trajectory similarity (``operators/trajectory.track_hausdorff``):
+    discrete Hausdorff distance between consecutive users' slow
+    tracks (pairs (u, u+1) for even u) — the trajectory near-dup
+    measure; Arrow distance-matrix kernel per pair vs a joins+two-level
+    -agg SQL twin over the identical squared-distance doubles."""
+    from ..operators.trajectory import track_hausdorff
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    loc = F.col("user_id") * F.lit(1000003) + F.floor(
+        F.unix_timestamp("ts") / F.lit(86400))
+    lon, lat = _geo_lonlat(loc)
+    pts = ev.select("user_id", lon.alias("lon"), lat.alias("lat"))
+    users = ev.select("user_id").distinct()
+    pairs = users.where(F.col("user_id") % 2 == 0).select(
+        F.col("user_id").alias("a"),
+        (F.col("user_id") + 1).alias("b"))
+    return track_hausdorff(pts, pairs)
+
+
+def _sql_hausdorff() -> str:
+    from ..operators.trajectory import track_hausdorff_sql
+
+    loc = ("(user_id * 1000003 + "
+           "CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 86400) AS BIGINT))")
+    lon, lat = _geo_lonlat_sql(loc)
+    pts = (f"SELECT user_id, {lon} AS lon, {lat} AS lat FROM events")
+    pairs = ("SELECT user_id AS a, user_id + 1 AS b "
+             "FROM (SELECT DISTINCT user_id FROM events) "
+             "WHERE user_id % 2 = 0")
+    return track_hausdorff_sql(pts, pairs)
+
+
 def q_stay_points(spark, sf_dir):
     """Stay-point detection over per-user event tracks: same-cell
     (res 6) consecutive fixes with <= 1h gaps form a visit; visits
@@ -2181,6 +2241,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rect_overlay": q_rect_overlay,
     "geo_balanced": q_geo_balanced,
     "colocation": q_colocation,
+    "speed_filter": q_speed_filter,
+    "hausdorff": q_hausdorff,
     "images_flagship": q_images_flagship,
     "polygon_assembly": q_polygon_assembly,
     "cdc_merge": q_cdc_merge,
@@ -2212,14 +2274,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "id_semi_join_scan": q_id_semi_join_scan,
     "endpoint_degree": q_endpoint_degree,
     "topk_per_group": q_topk_per_group,
-    "cell_compact": q_cell_compact,
     "semdedup": q_semdedup,
-    "dbscan_events": q_dbscan_events,
     "knn_events": q_knn_events,
     "knn_haversine": q_knn_haversine,
     "coverage_observed": q_coverage_observed,
     "pip_rect_join": q_pip_rect_join,
     "pip_rect_counts": q_pip_rect_counts,
+    "dbscan_events": q_dbscan_events,
+    "cell_compact": q_cell_compact,
     "range_join_events": q_range_join_events,
     "version_compaction": q_version_compaction,
     "first_seen": q_first_seen,
@@ -2264,6 +2326,8 @@ ORACLES: dict[str, str] = {
     "rect_overlay": _sql_rect_overlay(),
     "geo_balanced": _sql_geo_balanced(),
     "colocation": _sql_colocation(),
+    "speed_filter": _sql_speed_filter(),
+    "hausdorff": _sql_hausdorff(),
     "images_flagship": SQL_images_flagship,
     "polygon_assembly": AF.oracle_sql(),
     "cdc_merge": SQL_cdc_merge,
@@ -2295,14 +2359,14 @@ ORACLES: dict[str, str] = {
     "id_semi_join_scan": SQL_id_semi_join_scan,
     "endpoint_degree": SQL_endpoint_degree,
     "topk_per_group": SQL_topk_per_group,
-    "cell_compact": _sql_cell_compact(),
     "semdedup": _sql_semdedup(),
-    "dbscan_events": _sql_dbscan_events(),
     "knn_events": SQL_knn_events,
     "knn_haversine": _sql_knn_haversine(),
     "coverage_observed": SQL_coverage_observed,
     "pip_rect_join": SQL_pip_rect_join,
     "pip_rect_counts": SQL_pip_rect_counts,
+    "dbscan_events": _sql_dbscan_events(),
+    "cell_compact": _sql_cell_compact(),
     "range_join_events": _sql_range_join_events(),
     "version_compaction": SQL_version_compaction,
     "first_seen": SQL_first_seen,

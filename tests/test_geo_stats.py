@@ -237,3 +237,88 @@ def test_od_matrix_equal_enter_ts_deterministic(spark):
                                min_stay_s=3600).collect())
         base = got if base is None else base
         assert got == base
+
+
+def test_with_speed_flags_teleports_and_same_ts_moves(spark):
+    """Planted trace: stationary fixes clean, a 70 m/s-exceeding hop
+    flags, a same-timestamp re-fix that MOVED flags (division-free),
+    first fixes never flag; twin row-identical."""
+    from pyspark.sql import functions as F
+
+    from osmnightwatch_spark.operators.geo_stats import (with_speed,
+                                                         with_speed_sql)
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 0, 10.0, 10.0),    # first fix
+        (1, "2024-01-01 01:00:00", 1, 10.0, 10.0),    # stationary
+        (1, "2024-01-01 01:00:10", 2, 11.0, 10.0),    # ~111km in 10s
+        (1, "2024-01-01 02:00:00", 3, 11.0, 10.0),
+        (1, "2024-01-01 02:00:00", 4, 12.0, 10.0),    # same-ts move
+        (2, "2024-01-01 00:00:00", 5, 50.0, 50.0),    # lone first fix
+    ]
+    pts = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, "
+        "lon double, lat double"
+    ).select("user_id", F.to_timestamp("ts").alias("ts"),
+             "event_id", "lon", "lat")
+    got = {r.event_id: r for r in with_speed(pts, vmax_mps=70.0).collect()}
+    assert len(got) == 6
+    assert [got[i].is_anomaly for i in range(6)] == \
+        [False, False, True, False, True, False]
+    assert got[1].speed_mmps == 0.0 and got[1].dt_s == 3600
+    assert got[2].speed_mmps > 70.0 * 1000
+    assert got[4].dt_s == 0 and got[4].speed_mmps is None
+    assert got[0].hop_mm is None and got[5].hop_mm is None
+
+    import duckdb
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p (user_id BIGINT, ts TIMESTAMP, "
+                "event_id BIGINT, lon DOUBLE, lat DOUBLE)")
+    con.executemany("INSERT INTO p VALUES (?, ?, ?, ?, ?)", rows)
+    exp = {r[1]: r for r in con.execute(
+        with_speed_sql("SELECT * FROM p", vmax_mps=70.0)).fetchall()}
+    for i in range(6):
+        assert exp[i][3] == got[i].dt_s
+        assert exp[i][4] == got[i].hop_mm
+        assert exp[i][6] == got[i].is_anomaly
+
+
+def test_track_hausdorff_hand_and_invariants(spark):
+    """Hand-computable tracks: identical tracks -> 0; a one-point
+    offset drives the directed distances asymmetrically; result is
+    partitioning-stable and twin-identical."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from osmnightwatch_spark.operators.trajectory import (
+        track_hausdorff, track_hausdorff_sql)
+
+    pts_rows = (
+        [(1, float(x), 0.0) for x in range(5)]          # A: line y=0
+        + [(2, float(x), 0.0) for x in range(5)]        # B: same line
+        + [(3, float(x), 1.0) for x in range(5)]        # C: y=1
+        + [(4, 0.0, 0.0), (4, 10.0, 0.0)]               # D: endpoints only
+    )
+    pair_rows = [(1, 2), (1, 3), (1, 4), (1, 99)]       # 99: no fixes
+    pts = spark.createDataFrame(pts_rows, "user_id long, lon double, lat double")
+    pairs = spark.createDataFrame(pair_rows, "a long, b long")
+    got = {(r.a, r.b): r for r in
+           track_hausdorff(pts.repartition(7), pairs).collect()}
+    assert set(got) == {(1, 2), (1, 3), (1, 4)}         # (1,99) absent
+    assert got[(1, 2)].hausdorff == 0.0
+    assert got[(1, 3)].hausdorff == 1.0                 # parallel lines
+    # farthest A point from D = x=4 (min(4, 6) = 4);
+    # farthest D point from A = x=10 (closest A at x=4 -> 6)
+    assert got[(1, 4)].h_ab == 4.0 and got[(1, 4)].h_ba == 6.0
+    assert got[(1, 4)].hausdorff == 6.0
+
+    import duckdb
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p (user_id BIGINT, lon DOUBLE, lat DOUBLE)")
+    con.executemany("INSERT INTO p VALUES (?, ?, ?)", pts_rows)
+    con.execute("CREATE TABLE pr (a BIGINT, b BIGINT)")
+    con.executemany("INSERT INTO pr VALUES (?, ?)", pair_rows)
+    exp = con.execute(track_hausdorff_sql(
+        "SELECT * FROM p", "SELECT * FROM pr")).fetchall()
+    assert {(a, b): (na, nb, hab, hba, h) for a, b, na, nb, hab, hba, h
+            in exp} == {(k): (r.n_a, r.n_b, r.h_ab, r.h_ba, r.hausdorff)
+                        for k, r in got.items()}
