@@ -112,6 +112,57 @@ def compact_cells(cells: DataFrame, min_res: int, max_res: int,
     return final if out is None else out.unionByName(final)
 
 
+def tile_pyramid(points: DataFrame, min_res: int, max_res: int,
+                 lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """Counts at EVERY resolution ``min_res..max_res`` in one pass →
+    ``(cell, res, n)`` — the full tile-pyramid build a map renderer
+    (the reference's web UI consumes per-admin counts the same way,
+    ``AdminCountPerCountryAnalyzer.cs:222-260``) needs for all zoom
+    levels at once.
+
+    Scale shape: the raw points are aggregated ONCE at ``max_res``
+    (one shuffle, map-side combine absorbs city-cell skew), then the
+    parent ladder is exploded over the ALREADY-AGGREGATED fine tiles
+    — parent ids are pure bit arithmetic (``parent_col``), so the
+    second shuffle moves at most ``#fine_tiles × levels`` pre-combined
+    rows, never the raw data. A per-level ladder of ``tile_rollup``
+    calls would shuffle ``levels`` times; re-encoding raw points per
+    level would scan the 100 TB input ``levels`` times. This does
+    neither.
+    """
+    if not 0 <= min_res <= max_res:
+        raise ValueError(f"need 0 <= min_res <= max_res, got {min_res}..{max_res}")
+    fine = tile_counts(points, max_res, lon, lat)
+    ladder = [
+        (F.col("tile") if s == 0 else C.parent_col(F.col("tile"), s))
+        for s in range(max_res - min_res + 1)
+    ]
+    return (
+        fine.select(F.explode(F.array(*ladder)).alias("cell"),
+                    F.col("n_images"))
+        .groupBy("cell")
+        .agg(F.sum("n_images").alias("n"))
+        .select(
+            "cell",
+            F.shiftrightunsigned(F.col("cell"), C._RES_SHIFT)
+            .cast("int").alias("res"),
+            "n",
+        )
+    )
+
+
+def tile_pyramid_sql(points_sql: str, min_res: int, max_res: int,
+                     lon: str = "lon", lat: str = "lat") -> str:
+    """DuckDB twin: direct per-level encode+count (the oracle proves
+    the one-pass ladder equals ``levels`` independent encodes)."""
+    parts = [
+        f"SELECT {C.cell_sql(lon, lat, r)} AS cell, {r} AS res, "
+        f"COUNT(*) AS n FROM ({points_sql}) GROUP BY 1, 2"
+        for r in range(min_res, max_res + 1)
+    ]
+    return " UNION ALL ".join(parts)
+
+
 def compact_cells_sql(cells_sql: str, min_res: int, max_res: int) -> str:
     """DuckDB twin of ``compact_cells`` — one CTE pair per ladder
     level (``cells_sql`` must yield a ``cell`` column at ``max_res``)."""

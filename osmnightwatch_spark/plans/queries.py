@@ -2222,6 +2222,120 @@ def _sql_asof_join() -> str:
     )
 
 
+def q_tile_pyramid(spark, sf_dir):
+    """Full tile-pyramid build (``tiling.tile_pyramid``): counts at
+    every resolution 2..6 in ONE aggregate pass + one pre-combined
+    parent-ladder explode; oracle is 5 independent per-level
+    encode+counts."""
+    from ..operators.tiling import tile_pyramid
+
+    return tile_pyramid(_events_geo(spark, sf_dir), min_res=2, max_res=6)
+
+
+def _sql_tile_pyramid() -> str:
+    from ..operators.tiling import tile_pyramid_sql
+
+    return tile_pyramid_sql(_GEO_SQL, min_res=2, max_res=6)
+
+
+def _segs_df(spark, sf_dir, mod):
+    """Deterministic SHORT segment set from the events geotag: start
+    at the geotag, end displaced by an id-derived delta ≤ 1.25°
+    (bounded extent = bounded cell-cover explode), clamped into the
+    grid; ONE formula shared with :func:`_segs_sql`."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("event_id") % mod == 0)
+    lon, lat = _geo_lonlat(F.col("event_id"))
+    dx = (F.col("event_id") % 11 - 5).cast("double") / 4.0
+    dy = (F.col("event_id") % 7 - 3).cast("double") / 8.0
+    return ev.select(
+        F.col("event_id").alias("seg_id"),
+        lon.alias("x1"), lat.alias("y1"),
+        F.greatest(F.lit(-180.0), F.least(F.lit(180.0), lon + dx)).alias("x2"),
+        F.greatest(F.lit(-90.0), F.least(F.lit(90.0), lat + dy)).alias("y2"),
+    )
+
+
+def _segs_sql(mod):
+    return (
+        f"SELECT event_id AS seg_id, {_GEO_LON_SQL} AS x1, "
+        f"{_GEO_LAT_SQL} AS y1, "
+        f"GREATEST(-180.0, LEAST(180.0, {_GEO_LON_SQL} "
+        f"+ CAST(event_id % 11 - 5 AS DOUBLE) / 4.0)) AS x2, "
+        f"GREATEST(-90.0, LEAST(90.0, {_GEO_LAT_SQL} "
+        f"+ CAST(event_id % 7 - 3 AS DOUBLE) / 8.0)) AS y2 "
+        f"FROM events WHERE event_id % {mod} = 0"
+    )
+
+
+def q_clip_tiles(spark, sf_dir):
+    """Vector tiling (``clip.clip_segments_to_tiles``): Liang–Barsky
+    clip of event-derived segments to every res-6 tile positively
+    crossed. Engine explodes only the segment's bbox cells; oracle is
+    the brute full-grid clip with identical arithmetic."""
+    from ..operators.clip import clip_segments_to_tiles
+
+    return clip_segments_to_tiles(_segs_df(spark, sf_dir, 5), res=6)
+
+
+def _sql_clip_tiles() -> str:
+    from ..operators.clip import clip_segments_to_tiles_sql
+
+    return clip_segments_to_tiles_sql(_segs_sql(5), res=6)
+
+
+def q_map_match(spark, sf_dir):
+    """Map matching (``map_match.map_match``): snap every 3rd event
+    fix to its nearest event-derived road segment within 0.5°,
+    deterministic ``(d2, seg_id)`` pick. Engine is the radius-expanded
+    cell-bucketed candidate join; oracle is the brute cross join."""
+    from ..operators.map_match import map_match
+
+    pts = _events_geo(spark, sf_dir).where(F.col("event_id") % 3 == 0) \
+        .withColumnRenamed("event_id", "point_id")
+    return map_match(pts, _segs_df(spark, sf_dir, 10), radius=0.5)
+
+
+def _sql_map_match() -> str:
+    from ..operators.map_match import map_match_sql
+
+    pts = (f"SELECT event_id AS point_id, {_GEO_LON_SQL} AS lon, "
+           f"{_GEO_LAT_SQL} AS lat FROM events WHERE event_id % 3 = 0")
+    return map_match_sql(pts, _segs_sql(10), radius=0.5)
+
+
+def q_geofence(spark, sf_dir):
+    """Geofence transitions (``geofence.geofence_transitions``):
+    enter/exit stream of the slow per-(user, day) track against 1-in-50
+    event-derived fence rects — daily relocations cross fences by
+    construction. Engine is sightings-only gaps-and-islands; oracle is
+    the brute membership matrix + LAG."""
+    from ..operators.geofence import geofence_transitions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    loc = F.col("user_id") * F.lit(1000003) + F.floor(
+        F.unix_timestamp("ts") / F.lit(86400))
+    lon, lat = _geo_lonlat(loc)
+    pts = ev.select(F.col("user_id").alias("entity"),
+                    F.unix_timestamp("ts").alias("te"),
+                    F.col("event_id").alias("tb"),
+                    lon.alias("lon"), lat.alias("lat"))
+    fences = _rects_df(spark, sf_dir, 50, "fence_id", 2.0, 1.0)
+    return geofence_transitions(pts, fences, res=5)
+
+
+def _sql_geofence() -> str:
+    from ..operators.geofence import geofence_transitions_sql
+
+    loc = ("(user_id * 1000003 + "
+           "CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 86400) AS BIGINT))")
+    lon, lat = _geo_lonlat_sql(loc)
+    pts = (f"SELECT user_id AS entity, "
+           f"CAST(FLOOR(epoch(ts)) AS BIGINT) AS te, event_id AS tb, "
+           f"{lon} AS lon, {lat} AS lat FROM events")
+    return geofence_transitions_sql(pts, _rects_sql(50, "fence_id", 2.0, 1.0))
+
+
 # ---------------------------------------------------------------------------
 
 # Ordering contract: the driver checks the FIRST 50 entries each
@@ -2243,6 +2357,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "colocation": q_colocation,
     "speed_filter": q_speed_filter,
     "hausdorff": q_hausdorff,
+    "tile_pyramid": q_tile_pyramid,
+    "clip_tiles": q_clip_tiles,
+    "map_match": q_map_match,
+    "geofence": q_geofence,
     "images_flagship": q_images_flagship,
     "polygon_assembly": q_polygon_assembly,
     "cdc_merge": q_cdc_merge,
@@ -2328,6 +2446,10 @@ ORACLES: dict[str, str] = {
     "colocation": _sql_colocation(),
     "speed_filter": _sql_speed_filter(),
     "hausdorff": _sql_hausdorff(),
+    "tile_pyramid": _sql_tile_pyramid(),
+    "clip_tiles": _sql_clip_tiles(),
+    "map_match": _sql_map_match(),
+    "geofence": _sql_geofence(),
     "images_flagship": SQL_images_flagship,
     "polygon_assembly": AF.oracle_sql(),
     "cdc_merge": SQL_cdc_merge,
