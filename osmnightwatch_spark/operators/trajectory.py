@@ -29,7 +29,7 @@ doubles per pair — cap track length upstream (`dp_simplify` or
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -115,4 +115,103 @@ SELECT h1.a, h1.b, na.n_a, nb.n_b,
        sqrt(h1.h2) AS h_ab, sqrt(h2.h2) AS h_ba,
        sqrt(GREATEST(h1.h2, h2.h2)) AS hausdorff
 FROM _hd_h1 h1 JOIN _hd_h2 h2 USING (a, b) JOIN _hd_na na USING (a, b) JOIN _hd_nb nb USING (a, b)
+""".strip()
+
+
+def track_resample(points: DataFrame, step_s: int,
+                   entity: str = "user_id", ts: str = "te",
+                   lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """Resample each entity's track onto the uniform time grid
+    ``t = k·step_s`` by linear interpolation between bracketing fixes
+    → ``(entity, tg, lon_g, lat_g)``.
+
+    Reference ancestry: the minutely-replication clock — the reference
+    normalizes an irregular edit stream onto a fixed cadence before
+    diffing (``CatchupReplicationDiffEnumerator.cs:31-187``); this is
+    the same normalization for GPS tracks, and the standard
+    pre-alignment before co-location / OD / Hausdorff comparisons
+    (uneven sampling rates otherwise dominate those measures).
+
+    Semantics (pinned): fixes are deduplicated to one per
+    ``(entity, ts)`` first (position ties share the row; the dedup is
+    on the full tuple, so distinct positions at one ts are a caller
+    error surfaced as duplicate grid rows by the twin); grid instants
+    covered are the HALF-OPEN span ``t_min ≤ k·step_s < t_max`` of
+    each entity (an entity with one fix or a span shorter than its
+    first grid gap emits nothing). Interpolation is
+    ``p0 + (p1 − p0) · ((tg − t0) / (t1 − t0))`` evaluated in exactly
+    this order in both engines — identical IEEE doubles, hash-stable.
+
+    Scale shape: ONE window shuffle (partition by entity, sort by ts);
+    the grid explode is per consecutive-fix PAIR and output-
+    proportional (≤ gap/step_s rows per pair) — no join, no second
+    shuffle, map-side distinct combine. The skew unit is one entity's
+    fix count, same contract as `track_hausdorff` above.
+    """
+    te = F.col(ts).cast("long")
+    pts = points.select(F.col(entity).alias("_e"), te.alias("_t"),
+                        F.col(lon).alias("_x"),
+                        F.col(lat).alias("_y")).distinct()
+    w = Window.partitionBy("_e").orderBy("_t")
+    paired = pts.select(
+        "_e", "_t", "_x", "_y",
+        F.lead("_t").over(w).alias("_t2"),
+        F.lead("_x").over(w).alias("_x2"),
+        F.lead("_y").over(w).alias("_y2"),
+    ).where(F.col("_t2").isNotNull())
+    W_ = int(step_s)
+    k_lo = F.expr(f"(_t + {W_ - 1}) div {W_}")
+    k_hi = F.expr(f"(_t2 - 1) div {W_}")
+    grid = (paired
+            .withColumn("_klo", k_lo).withColumn("_khi", k_hi)
+            .where(F.col("_klo") <= F.col("_khi"))
+            .select("_e", "_t", "_x", "_y", "_t2", "_x2", "_y2",
+                    F.explode(F.sequence("_klo", "_khi")).alias("_k")))
+    tg = (F.col("_k") * F.lit(W_)).cast("long")
+    frac = ((tg - F.col("_t")).cast("double")
+            / (F.col("_t2") - F.col("_t")).cast("double"))
+    return grid.select(
+        F.col("_e").alias(entity),
+        tg.alias("tg"),
+        (F.col("_x") + (F.col("_x2") - F.col("_x")) * frac).alias("lon_g"),
+        (F.col("_y") + (F.col("_y2") - F.col("_y")) * frac).alias("lat_g"),
+    )
+
+
+def track_resample_sql(points_sql: str, step_s: int,
+                       entity: str = "user_id", ts: str = "te",
+                       lon: str = "lon", lat: str = "lat") -> str:
+    """DuckDB twin: identical dedup + LEAD window + integer grid
+    bounds (`//` ≡ Spark `div` on the non-negative epochs used here)
+    + the same interpolation expression order."""
+    W_ = int(step_s)
+    return f"""
+WITH _tr_p AS (
+  SELECT DISTINCT {entity} AS _e, CAST({ts} AS BIGINT) AS _t,
+         {lon} AS _x, {lat} AS _y
+  FROM ({points_sql})
+),
+_tr_pair AS (
+  SELECT _e, _t, _x, _y,
+         LEAD(_t) OVER w AS _t2,
+         LEAD(_x) OVER w AS _x2,
+         LEAD(_y) OVER w AS _y2
+  FROM _tr_p
+  WINDOW w AS (PARTITION BY _e ORDER BY _t)
+),
+_tr_grid AS (
+  SELECT _e, _t, _x, _y, _t2, _x2, _y2,
+         UNNEST(generate_series((_t + {W_ - 1}) // {W_},
+                                (_t2 - 1) // {W_})) AS _k
+  FROM _tr_pair
+  WHERE _t2 IS NOT NULL
+    AND (_t + {W_ - 1}) // {W_} <= (_t2 - 1) // {W_}
+)
+SELECT _e AS {entity},
+       CAST(_k * {W_} AS BIGINT) AS tg,
+       _x + (_x2 - _x) * (CAST(_k * {W_} - _t AS DOUBLE)
+                          / CAST(_t2 - _t AS DOUBLE)) AS lon_g,
+       _y + (_y2 - _y) * (CAST(_k * {W_} - _t AS DOUBLE)
+                          / CAST(_t2 - _t AS DOUBLE)) AS lat_g
+FROM _tr_grid
 """.strip()

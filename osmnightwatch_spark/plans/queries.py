@@ -2336,6 +2336,91 @@ def _sql_geofence() -> str:
     return geofence_transitions_sql(pts, _rects_sql(50, "fence_id", 2.0, 1.0))
 
 
+def q_ring_stats(spark, sf_dir):
+    """Ring shoelace metrics (``ring_metrics.ring_shoelace``): exact
+    int64 signed area ×2 + centroid numerators per per-user ring
+    (vertices on a 2^16 grid ordered by event_id; 2^16 keeps every
+    term and the ≤100-vertex running sums far inside int64)."""
+    from ..operators.ring_metrics import ring_shoelace
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    verts = ev.select(
+        F.col("user_id").alias("ring_id"),
+        F.col("event_id").alias("seq"),
+        ((F.col("event_id") * F.lit(_LON_MULT)) % F.lit(65536)).alias("x"),
+        ((F.col("event_id") * F.lit(_LAT_MULT) + F.lit(_LAT_OFF))
+         % F.lit(65536)).alias("y"),
+    )
+    return ring_shoelace(verts)
+
+
+def _sql_ring_stats() -> str:
+    from ..operators.ring_metrics import ring_shoelace_sql
+
+    verts = (f"SELECT user_id AS ring_id, event_id AS seq, "
+             f"event_id * {_LON_MULT} % 65536 AS x, "
+             f"(event_id * {_LAT_MULT} + {_LAT_OFF}) % 65536 AS y "
+             f"FROM events")
+    return ring_shoelace_sql(verts)
+
+
+def q_convex_hull(spark, sf_dir):
+    """Per-user convex hull (``hull.convex_hull``): minimal hull
+    vertex set of each user's distinct (user, day) locations on a
+    2^16 grid. Engine is one distinct + one Arrow monotone-chain
+    kernel; oracle is the O(n³) supporting-edge characterization."""
+    from ..operators.hull import convex_hull
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    loc = F.col("user_id") * F.lit(1000003) + F.floor(
+        F.unix_timestamp("ts") / F.lit(86400))
+    pts = ev.select(
+        F.col("user_id").alias("entity"),
+        ((loc * F.lit(_LON_MULT)) % F.lit(65536)).alias("x"),
+        ((loc * F.lit(_LAT_MULT) + F.lit(_LAT_OFF))
+         % F.lit(65536)).alias("y"),
+    )
+    return convex_hull(pts)
+
+
+def _sql_convex_hull() -> str:
+    from ..operators.hull import convex_hull_sql
+
+    loc = ("(user_id * 1000003 + "
+           "CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 86400) AS BIGINT))")
+    pts = (f"SELECT user_id AS entity, "
+           f"{loc} * {_LON_MULT} % 65536 AS x, "
+           f"({loc} * {_LAT_MULT} + {_LAT_OFF}) % 65536 AS y "
+           f"FROM events")
+    return convex_hull_sql(pts)
+
+
+def q_track_resample(spark, sf_dir):
+    """Uniform-grid track resampling (``trajectory.track_resample``):
+    the slow per-(user, day) tracks interpolated onto a 6-hour grid —
+    the cadence normalization before co-location / OD / Hausdorff."""
+    from ..operators.trajectory import track_resample
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    loc = F.col("user_id") * F.lit(1000003) + F.floor(
+        F.unix_timestamp("ts") / F.lit(86400))
+    lon, lat = _geo_lonlat(loc)
+    pts = ev.select("user_id", F.unix_timestamp("ts").alias("te"),
+                    lon.alias("lon"), lat.alias("lat"))
+    return track_resample(pts, step_s=21600)
+
+
+def _sql_track_resample() -> str:
+    from ..operators.trajectory import track_resample_sql
+
+    loc = ("(user_id * 1000003 + "
+           "CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 86400) AS BIGINT))")
+    lon, lat = _geo_lonlat_sql(loc)
+    pts = (f"SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS te, "
+           f"{lon} AS lon, {lat} AS lat FROM events")
+    return track_resample_sql(pts, step_s=21600)
+
+
 # ---------------------------------------------------------------------------
 
 # Ordering contract: the driver checks the FIRST 50 entries each
@@ -2361,6 +2446,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clip_tiles": q_clip_tiles,
     "map_match": q_map_match,
     "geofence": q_geofence,
+    "ring_stats": q_ring_stats,
+    "convex_hull": q_convex_hull,
+    "track_resample": q_track_resample,
     "images_flagship": q_images_flagship,
     "polygon_assembly": q_polygon_assembly,
     "cdc_merge": q_cdc_merge,
@@ -2388,12 +2476,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "embedding_near_dup": q_embedding_near_dup,
     "adaptive_cell_split": q_adaptive_cell_split,
-    "tag_filter_project": q_tag_filter_project,
     "id_semi_join_scan": q_id_semi_join_scan,
-    "endpoint_degree": q_endpoint_degree,
-    "topk_per_group": q_topk_per_group,
     "semdedup": q_semdedup,
     "knn_events": q_knn_events,
+    # ---- tail: multiply-green, unchanged (rotation rule) ----
+    "tag_filter_project": q_tag_filter_project,
+    "endpoint_degree": q_endpoint_degree,
+    "topk_per_group": q_topk_per_group,
     "knn_haversine": q_knn_haversine,
     "coverage_observed": q_coverage_observed,
     "pip_rect_join": q_pip_rect_join,
@@ -2450,6 +2539,9 @@ ORACLES: dict[str, str] = {
     "clip_tiles": _sql_clip_tiles(),
     "map_match": _sql_map_match(),
     "geofence": _sql_geofence(),
+    "ring_stats": _sql_ring_stats(),
+    "convex_hull": _sql_convex_hull(),
+    "track_resample": _sql_track_resample(),
     "images_flagship": SQL_images_flagship,
     "polygon_assembly": AF.oracle_sql(),
     "cdc_merge": SQL_cdc_merge,
@@ -2477,12 +2569,13 @@ ORACLES: dict[str, str] = {
     "winnow_fingerprints": _sql_winnow_fingerprints(),
     "embedding_near_dup": _sql_embedding_near_dup(),
     "adaptive_cell_split": _sql_adaptive_cell_split(),
-    "tag_filter_project": SQL_tag_filter_project,
     "id_semi_join_scan": SQL_id_semi_join_scan,
-    "endpoint_degree": SQL_endpoint_degree,
-    "topk_per_group": SQL_topk_per_group,
     "semdedup": _sql_semdedup(),
     "knn_events": SQL_knn_events,
+    # ---- tail: multiply-green, unchanged (rotation rule) ----
+    "tag_filter_project": SQL_tag_filter_project,
+    "endpoint_degree": SQL_endpoint_degree,
+    "topk_per_group": SQL_topk_per_group,
     "knn_haversine": _sql_knn_haversine(),
     "coverage_observed": SQL_coverage_observed,
     "pip_rect_join": SQL_pip_rect_join,
