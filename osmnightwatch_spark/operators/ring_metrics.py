@@ -52,18 +52,23 @@ def ring_shoelace(vertices: DataFrame, ring: str = "ring_id",
     x2 = F.coalesce(F.lead(x).over(w), F.first(x).over(w_full)).cast("long")
     y2 = F.coalesce(F.lead(y).over(w), F.first(y).over(w_full)).cast("long")
     cross = xi * y2 - x2 * yi
+    # group on the ORIGINAL ring column (no pre-agg alias): an alias
+    # projection between the window and the groupBy makes
+    # EnsureRequirements re-exchange on the new exprId (measured —
+    # plan audit showed hashpartitioning(ring) twice); keyed this way
+    # the final agg runs on the window's partitioning, ONE exchange.
     terms = vertices.select(
-        F.col(ring).alias("ring_id"),
+        F.col(ring),
         cross.alias("_cr"),
         ((xi + x2) * cross).alias("_cx"),
         ((yi + y2) * cross).alias("_cy"),
     )
-    return terms.groupBy("ring_id").agg(
+    return (terms.groupBy(ring).agg(
         F.count("*").alias("n_vertices"),
         F.sum("_cr").alias("area2"),
         F.sum("_cx").alias("cx_num"),
-        F.sum("_cy").alias("cy_num"),
-    )
+        F.sum("_cy").alias("cy_num"))
+        .withColumnRenamed(ring, "ring_id"))
 
 
 def ring_shoelace_sql(vertices_sql: str, ring: str = "ring_id",

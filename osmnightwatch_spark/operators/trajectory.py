@@ -142,11 +142,12 @@ def track_resample(points: DataFrame, step_s: int,
     ``p0 + (p1 − p0) · ((tg − t0) / (t1 − t0))`` evaluated in exactly
     this order in both engines — identical IEEE doubles, hash-stable.
 
-    Scale shape: ONE window shuffle (partition by entity, sort by ts);
-    the grid explode is per consecutive-fix PAIR and output-
-    proportional (≤ gap/step_s rows per pair) — no join, no second
-    shuffle, map-side distinct combine. The skew unit is one entity's
-    fix count, same contract as `track_hausdorff` above.
+    Scale shape: two exchanges — the dedup hash (map-side combined,
+    shrinks stationary tracks before any sort) and the entity window;
+    the grid explode is per consecutive-fix PAIR, after the window,
+    and output-proportional (≤ gap/step_s rows per pair) — no join.
+    The skew unit is one entity's fix count, same contract as
+    `track_hausdorff` above.
     """
     te = F.col(ts).cast("long")
     pts = points.select(F.col(entity).alias("_e"), te.alias("_t"),
