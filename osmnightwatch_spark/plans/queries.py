@@ -2421,6 +2421,24 @@ def _sql_track_resample() -> str:
     return track_resample_sql(pts, step_s=21600)
 
 
+def q_density_grid(spark, sf_dir):
+    """Raster density grid (``raster.density_grid``): per res-4 tile,
+    event counts on the 16×16 pixel grid (= the res-8 Morton subcells)
+    — ONE fine-res aggregate + bit arithmetic, the oracle-checkable
+    half of the tile renderer (``raster.render_density_tiles`` turns
+    these rows into real PPM image rows, pytest-verified)."""
+    from ..operators.raster import density_grid
+
+    return density_grid(_events_geo(spark, sf_dir), res=4, depth=4)
+
+
+def _sql_density_grid() -> str:
+    from ..operators.raster import density_grid_sql
+
+    return density_grid_sql(_GEO_SQL, res=4, depth=4,
+                            lon="lon", lat="lat")
+
+
 # ---------------------------------------------------------------------------
 
 # Ordering contract: the driver checks the FIRST 50 entries each
@@ -2449,6 +2467,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ring_stats": q_ring_stats,
     "convex_hull": q_convex_hull,
     "track_resample": q_track_resample,
+    "density_grid": q_density_grid,
     "images_flagship": q_images_flagship,
     "polygon_assembly": q_polygon_assembly,
     "cdc_merge": q_cdc_merge,
@@ -2478,8 +2497,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "adaptive_cell_split": q_adaptive_cell_split,
     "id_semi_join_scan": q_id_semi_join_scan,
     "semdedup": q_semdedup,
-    "knn_events": q_knn_events,
     # ---- tail: multiply-green, unchanged (rotation rule) ----
+    "knn_events": q_knn_events,
     "tag_filter_project": q_tag_filter_project,
     "endpoint_degree": q_endpoint_degree,
     "topk_per_group": q_topk_per_group,
@@ -2542,6 +2561,7 @@ ORACLES: dict[str, str] = {
     "ring_stats": _sql_ring_stats(),
     "convex_hull": _sql_convex_hull(),
     "track_resample": _sql_track_resample(),
+    "density_grid": _sql_density_grid(),
     "images_flagship": SQL_images_flagship,
     "polygon_assembly": AF.oracle_sql(),
     "cdc_merge": SQL_cdc_merge,
@@ -2571,8 +2591,8 @@ ORACLES: dict[str, str] = {
     "adaptive_cell_split": _sql_adaptive_cell_split(),
     "id_semi_join_scan": SQL_id_semi_join_scan,
     "semdedup": _sql_semdedup(),
-    "knn_events": SQL_knn_events,
     # ---- tail: multiply-green, unchanged (rotation rule) ----
+    "knn_events": SQL_knn_events,
     "tag_filter_project": SQL_tag_filter_project,
     "endpoint_degree": SQL_endpoint_degree,
     "topk_per_group": SQL_topk_per_group,
