@@ -240,6 +240,7 @@ def main() -> None:
         "flagship_pipeline": 3.0, "tile_counts_r8": 1.4, "pip_join": 1.7,
         "knn_join_k5": 3.5, "coverage_observed": 2.5, "dedup_minhash": 2.3,
         "cosine_topk": 2.1, "ann_lsh_scaled": 1.7, "ann_ivf_scaled": 1.3,
+        "tile_pyramid_r2_8": 1.7, "density_grid_r6": 1.5,
     }
     def timed(name, fn):
         # warm run (plan compile + JIT + python-worker spinup), then
@@ -285,6 +286,13 @@ def main() -> None:
     flagship_sec = timings["flagship_pipeline"]
 
     timed("tile_counts_r8", lambda: tile_counts(geo(), 8).count())
+    from osmnightwatch_spark.operators.raster import density_grid
+    from osmnightwatch_spark.operators.tiling import tile_pyramid
+
+    # session-6 spatial additions: full pyramid (one input scan, parent
+    # ladder over pre-aggregated tiles) and the raster pixel grid
+    timed("tile_pyramid_r2_8", lambda: tile_pyramid(geo(), 2, 8).count())
+    timed("density_grid_r6", lambda: density_grid(geo(), res=6).count())
     timed("pip_join", lambda: pip_join(geo(), prep).count())
     timed(
         "knn_join_k5",
