@@ -2439,6 +2439,29 @@ def _sql_density_grid() -> str:
                             lon="lon", lat="lat")
 
 
+_QSKETCH_QS = [0.1, 0.25, 0.5, 0.9, 0.99]
+
+
+def q_quantile_sketch(spark, sf_dir):
+    """Mergeable quantile sketch (``qsketch``): per-lang doc-length
+    quantiles from HDR-style integer log buckets (sub_bits=3 → <12.5%
+    relative error, exact bucket lower bounds — the corpus profiler
+    that merges without re-scanning)."""
+    from ..operators.qsketch import qsketch, qsketch_quantiles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sk = qsketch(docs, "n_chars", group="lang")
+    return qsketch_quantiles(sk, _QSKETCH_QS, group="lang")
+
+
+def _sql_quantile_sketch() -> str:
+    from ..operators.qsketch import qsketch_quantiles_sql, qsketch_sql
+
+    return qsketch_quantiles_sql(
+        qsketch_sql("SELECT * FROM documents", "n_chars", group="lang"),
+        _QSKETCH_QS, group="lang")
+
+
 # ---------------------------------------------------------------------------
 
 # Ordering contract: the driver checks the FIRST 50 entries each
@@ -2468,6 +2491,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "convex_hull": q_convex_hull,
     "track_resample": q_track_resample,
     "density_grid": q_density_grid,
+    "quantile_sketch": q_quantile_sketch,
     "images_flagship": q_images_flagship,
     "polygon_assembly": q_polygon_assembly,
     "cdc_merge": q_cdc_merge,
@@ -2496,8 +2520,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "adaptive_cell_split": q_adaptive_cell_split,
     "id_semi_join_scan": q_id_semi_join_scan,
-    "semdedup": q_semdedup,
     # ---- tail: multiply-green, unchanged (rotation rule) ----
+    "semdedup": q_semdedup,
     "knn_events": q_knn_events,
     "tag_filter_project": q_tag_filter_project,
     "endpoint_degree": q_endpoint_degree,
@@ -2562,6 +2586,7 @@ ORACLES: dict[str, str] = {
     "convex_hull": _sql_convex_hull(),
     "track_resample": _sql_track_resample(),
     "density_grid": _sql_density_grid(),
+    "quantile_sketch": _sql_quantile_sketch(),
     "images_flagship": SQL_images_flagship,
     "polygon_assembly": AF.oracle_sql(),
     "cdc_merge": SQL_cdc_merge,
@@ -2590,8 +2615,8 @@ ORACLES: dict[str, str] = {
     "embedding_near_dup": _sql_embedding_near_dup(),
     "adaptive_cell_split": _sql_adaptive_cell_split(),
     "id_semi_join_scan": SQL_id_semi_join_scan,
-    "semdedup": _sql_semdedup(),
     # ---- tail: multiply-green, unchanged (rotation rule) ----
+    "semdedup": _sql_semdedup(),
     "knn_events": SQL_knn_events,
     "tag_filter_project": SQL_tag_filter_project,
     "endpoint_degree": SQL_endpoint_degree,
