@@ -105,3 +105,105 @@ def hll_registers_sql(table: str, col: str, p: int = 12) -> str:
         f"SELECT {reg} AS register, CAST(MAX({rank}) AS INTEGER) AS rank "
         f"FROM {table} GROUP BY 1"
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (the heavy-hitter / point-frequency member of the
+# mergeable-sketch family: HLL = distinct, qsketch = quantiles, CMS =
+# counts). Reference ancestry: the reference's per-minute issue-count
+# tracking ("did this analyzer's count jump") kept exactly per key —
+# CMS is that counter table at fixed memory regardless of key
+# cardinality (depth × width int64 cells), mergeable by summing.
+#
+# Hash family: bucket_i(v) = 60-bit md5("i:" || v) % width for row
+# i < depth — the repo's standard exact-on-both-engines hash. The
+# estimate min_i cnt[i][bucket_i(v)] NEVER underestimates; it
+# overestimates by ≤ e·N/width with prob 1−e^-depth (standard CMS
+# bound), so a rare key can only be inflated, not hidden.
+#
+# Scale shape: the sketch is ONE aggregate over a depth-wide explode —
+# map-side combine caps every partition's contribution at depth×width
+# rows, so shuffle volume is bounded by the SKETCH size, not the data;
+# estimation left-joins depth rows per probe against the ≤ depth×width
+# sketch (broadcast-able by construction).
+# ---------------------------------------------------------------------------
+
+
+def _cms_bucket_col(col: str, i: int, width: int):
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}:"),
+                                          F.col(col).cast("string"))),
+                           1, 15), 16, 10).cast("long")
+    return (h % F.lit(width)).cast("long")
+
+
+def _cms_bucket_sql(col: str, i: int, width: int) -> str:
+    h = (f"CAST('0x' || substr(md5('{i}:' || CAST({col} AS VARCHAR)),"
+         f" 1, 15) AS BIGINT)")
+    return f"({h} % {width})"
+
+
+def cms_sketch(df: DataFrame, col: str, width: int = 1024,
+               depth: int = 4) -> DataFrame:
+    """``(row, bucket, cnt)`` — the ≤ depth·width-row sketch (absent
+    cells are zero; merge = unionByName + groupBy sum)."""
+    pairs = F.array(*[
+        F.struct(F.lit(i).alias("row"),
+                 _cms_bucket_col(col, i, width).alias("bucket"))
+        for i in range(depth)])
+    return (df.select(F.explode(pairs).alias("_p"))
+            .groupBy(F.col("_p.row").alias("row"),
+                     F.col("_p.bucket").alias("bucket"))
+            .agg(F.count("*").alias("cnt")))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Sum-merge (associative, order-free): sketch new data, merge,
+    never rescan history — same contract as :func:`hll_merge`."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(sketch: DataFrame, probes: DataFrame, col: str,
+                 width: int = 1024, depth: int = 4) -> DataFrame:
+    """``(key, est)`` — min over rows of the probed cells (0 when a
+    cell is absent). est ≥ true count always."""
+    pairs = F.array(*[
+        F.struct(F.lit(i).alias("row"),
+                 _cms_bucket_col(col, i, width).alias("bucket"))
+        for i in range(depth)])
+    probe_cells = (probes.select(F.col(col).alias("key"),
+                                 F.explode(pairs).alias("_p"))
+                   .select("key", F.col("_p.row").alias("row"),
+                           F.col("_p.bucket").alias("bucket")))
+    joined = probe_cells.join(sketch, ["row", "bucket"], "left")
+    return (joined.groupBy("key")
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")))
+
+
+def cms_sketch_sql(src_sql: str, col: str, width: int = 1024,
+                   depth: int = 4) -> str:
+    """DuckDB twin of :func:`cms_sketch` (same md5 buckets, one UNION
+    ALL branch per row — depth is small and fixed)."""
+    branches = " UNION ALL ".join(
+        f"SELECT {i} AS row, {_cms_bucket_sql(col, i, width)} AS bucket "
+        f"FROM ({src_sql})" for i in range(depth))
+    return (f"SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt "
+            f"FROM ({branches}) GROUP BY row, bucket")
+
+
+def cms_estimate_sql(sketch_sql: str, probes_sql: str, col: str,
+                     width: int = 1024, depth: int = 4) -> str:
+    """DuckDB twin of :func:`cms_estimate`."""
+    branches = " UNION ALL ".join(
+        f"SELECT {col} AS key, {i} AS row, "
+        f"{_cms_bucket_sql(col, i, width)} AS bucket "
+        f"FROM ({probes_sql})" for i in range(depth))
+    return f"""
+WITH _cms_s AS ({sketch_sql}),
+_cms_p AS ({branches})
+SELECT p.key, CAST(MIN(COALESCE(s.cnt, 0)) AS BIGINT) AS est
+FROM _cms_p p LEFT JOIN _cms_s s ON s.row = p.row AND s.bucket = p.bucket
+GROUP BY p.key
+""".strip()

@@ -2462,6 +2462,34 @@ def _sql_quantile_sketch() -> str:
         _QSKETCH_QS, group="lang")
 
 
+def q_cms_counts(spark, sf_dir):
+    """Count-min sketch (``sketches.cms_sketch``/``cms_estimate``):
+    point-frequency estimates for every vocabulary token from a fixed
+    512×4 sketch of ALL document tokens — the bounded-memory counter
+    table (estimates ≥ truth, overshoot ≤ e·N/width)."""
+    from ..operators.sketches import cms_estimate, cms_sketch
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    sketch = cms_sketch(toks, "tok", width=512, depth=4)
+    # the synthetic vocab is small, so probe ALL of it; at corpus
+    # scale the probe set is bounded the same way upstream (an
+    # md5-prefix slice or a candidate list), never the raw token
+    # stream
+    probes = toks.distinct()
+    return cms_estimate(sketch, probes, "tok", width=512, depth=4)
+
+
+def _sql_cms_counts() -> str:
+    from ..operators.sketches import cms_estimate_sql, cms_sketch_sql
+
+    toks = ("SELECT unnest(string_split(text, ' ')) AS tok "
+            "FROM documents")
+    probes = f"SELECT DISTINCT tok FROM ({toks})"
+    return cms_estimate_sql(cms_sketch_sql(toks, "tok", 512, 4),
+                            probes, "tok", 512, 4)
+
+
 # ---------------------------------------------------------------------------
 
 # Ordering contract: the driver checks the FIRST 50 entries each
@@ -2492,6 +2520,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "track_resample": q_track_resample,
     "density_grid": q_density_grid,
     "quantile_sketch": q_quantile_sketch,
+    "cms_counts": q_cms_counts,
     "images_flagship": q_images_flagship,
     "polygon_assembly": q_polygon_assembly,
     "cdc_merge": q_cdc_merge,
@@ -2519,8 +2548,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "embedding_near_dup": q_embedding_near_dup,
     "adaptive_cell_split": q_adaptive_cell_split,
-    "id_semi_join_scan": q_id_semi_join_scan,
     # ---- tail: multiply-green, unchanged (rotation rule) ----
+    "id_semi_join_scan": q_id_semi_join_scan,
     "semdedup": q_semdedup,
     "knn_events": q_knn_events,
     "tag_filter_project": q_tag_filter_project,
@@ -2587,6 +2616,7 @@ ORACLES: dict[str, str] = {
     "track_resample": _sql_track_resample(),
     "density_grid": _sql_density_grid(),
     "quantile_sketch": _sql_quantile_sketch(),
+    "cms_counts": _sql_cms_counts(),
     "images_flagship": SQL_images_flagship,
     "polygon_assembly": AF.oracle_sql(),
     "cdc_merge": SQL_cdc_merge,
@@ -2614,8 +2644,8 @@ ORACLES: dict[str, str] = {
     "winnow_fingerprints": _sql_winnow_fingerprints(),
     "embedding_near_dup": _sql_embedding_near_dup(),
     "adaptive_cell_split": _sql_adaptive_cell_split(),
-    "id_semi_join_scan": SQL_id_semi_join_scan,
     # ---- tail: multiply-green, unchanged (rotation rule) ----
+    "id_semi_join_scan": SQL_id_semi_join_scan,
     "semdedup": _sql_semdedup(),
     "knn_events": SQL_knn_events,
     "tag_filter_project": SQL_tag_filter_project,
