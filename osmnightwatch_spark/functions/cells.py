@@ -202,6 +202,59 @@ def cell_col(lon: "Column", lat: "Column", res: int) -> "Column":
     )
 
 
+# ---------------------------------------------------------------------------
+# Spark-SQL text renderers (single F.expr call per expression)
+#
+# Building the interleave as chained Column calls costs one py4j round
+# trip PER operator (~0.3 ms each) and one eager Dataset analysis per
+# withColumn — measured 0.1-0.3 s of pure driver time per query plan
+# build at bench scale (guide §5: the driver should do almost no
+# work). Rendering the identical expression as ONE SQL string hands
+# the whole tree to the parser in a single call. Semantics are
+# bit-identical: integer bit arithmetic, `D`-suffixed double literals
+# (same IEEE values as F.lit(float)), same operation order — pinned by
+# the cross-implementation tests in test_cells.py.
+# ---------------------------------------------------------------------------
+
+
+def _part1by1_spark_sql(e: str, bits: int = 32) -> str:
+    """Spark-SQL text twin of :func:`_part1by1_col` (same skip rule)."""
+    for shift, mask in ((16, _M1), (8, _M2), (4, _M3), (2, _M4), (1, _M5)):
+        if bits <= shift:
+            continue
+        e = f"((({e}) | shiftleft({e}, {shift})) & {mask}L)"
+    return e
+
+
+def _grid_spark_sql(e: str, lo: float, span: float, res: int) -> str:
+    """Spark-SQL text twin of :func:`_grid_col` (same op order)."""
+    n = 1 << res
+    g = f"CAST(FLOOR(((({e}) + {float(-lo)!r}D) / {float(span)!r}D) * {n}) AS BIGINT)"
+    return f"GREATEST(0L, LEAST({n - 1}L, {g}))"
+
+
+def cell_spark_sql(lon_expr: str, lat_expr: str, res: int) -> str:
+    """lon/lat → cell id as ONE Spark-SQL string (inline, no staging —
+    use :func:`attach_cell` when the input expressions are non-trivial
+    so the interleave references staged columns, not the floor chain)."""
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in 0..{MAX_RES}, got {res}")
+    x = _grid_spark_sql(lon_expr, -180.0, 360.0, res)
+    y = _grid_spark_sql(lat_expr, -90.0, 180.0, res)
+    return (
+        f"CAST((({res << _RES_SHIFT}L | {_part1by1_spark_sql(x, res)})"
+        f" | shiftleft({_part1by1_spark_sql(y, res)}, 1)) AS BIGINT)"
+    )
+
+
+def parent_spark_sql(e: str, steps: int = 1) -> str:
+    """Spark-SQL text twin of :func:`parent_col` (same bit arithmetic)."""
+    res = f"shiftrightunsigned({e}, {_RES_SHIFT})"
+    morton = f"(({e}) & {(1 << _RES_SHIFT) - 1}L)"
+    return (f"(shiftleft(({res} - {steps}), {_RES_SHIFT})"
+            f" | shiftrightunsigned({morton}, {2 * steps}))")
+
+
 def attach_cell(df, res: int, lon: str = "lon", lat: str = "lat",
                 out: str = "cell"):
     """``df`` + cell-id column — the preferred Spark-side encode.
@@ -211,20 +264,21 @@ def attach_cell(df, res: int, lon: str = "lon", lat: str = "lat",
     coordinate ~32×) duplicates cheap column refs, not the whole
     floor-chain — keeping generated code small enough for whole-stage
     codegen (Catalyst's CollapseProject keeps non-cheap multiply-
-    referenced projections separate).
+    referenced projections separate). Each layer is one ``F.expr``
+    string (driver-side plan-build cost, see renderer note above).
     """
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in 0..{MAX_RES}, got {res}")
     gx, gy = f"__gx_{out}", f"__gy_{out}"
-    stage = (
-        df.withColumn(gx, _grid_col(F.col(lon), -180.0, 360.0, res))
-        .withColumn(gy, _grid_col(F.col(lat), -90.0, 180.0, res))
-    )
+    stage = df.withColumns({
+        gx: F.expr(_grid_spark_sql(f"`{lon}`", -180.0, 360.0, res)),
+        gy: F.expr(_grid_spark_sql(f"`{lat}`", -90.0, 180.0, res)),
+    })
     cell = (
-        F.lit(res << _RES_SHIFT)
-        .bitwiseOR(_part1by1_col(F.col(gx), res))
-        .bitwiseOR(F.shiftleft(_part1by1_col(F.col(gy), res), 1))
-        .cast("long")
+        f"CAST((({res << _RES_SHIFT}L | {_part1by1_spark_sql(gx, res)})"
+        f" | shiftleft({_part1by1_spark_sql(gy, res)}, 1)) AS BIGINT)"
     )
-    return stage.withColumn(out, cell).drop(gx, gy)
+    return stage.withColumn(out, F.expr(cell)).drop(gx, gy)
 
 
 def ring1_cells_col(df, res: int, lon: str = "lon", lat: str = "lat",
@@ -247,21 +301,22 @@ def ring1_cells_col(df, res: int, lon: str = "lon", lat: str = "lat",
     if not 0 <= res <= MAX_RES:
         raise ValueError(f"res must be in 0..{MAX_RES}, got {res}")
     n = 1 << res
-    # each layer is ONE withColumns call (one Py4J round trip + one
-    # analysis pass per layer, not per column — chained withColumn was
-    # a measurable slice of the ~1 s/plan driver-side cost)
+    # each layer is ONE withColumns call of F.expr strings (one Py4J
+    # round trip + one analysis pass per layer, not per operator —
+    # chained Column building was a measurable slice of the driver-side
+    # plan-build cost; see the Spark-SQL renderer note above)
     gx, gy = f"__r1gx_{out}", f"__r1gy_{out}"
     stage = df.withColumns({
-        gx: _grid_col(F.col(lon), -180.0, 360.0, res),
-        gy: _grid_col(F.col(lat), -90.0, 180.0, res),
+        gx: F.expr(_grid_spark_sql(f"`{lon}`", -180.0, 360.0, res)),
+        gy: F.expr(_grid_spark_sql(f"`{lat}`", -90.0, 180.0, res)),
     })
     xcols = {d: f"__r1x{d + 1}_{out}" for d in (-1, 0, 1)}
     ycols = {d: f"__r1y{d + 1}_{out}" for d in (-1, 0, 1)}
     shifted = {}
     for d in (-1, 0, 1):
-        shifted[xcols[d]] = F.pmod(F.col(gx) + F.lit(d), F.lit(n))
-        shifted[ycols[d]] = F.greatest(
-            F.lit(0), F.least(F.lit(n - 1), F.col(gy) + F.lit(d))
+        shifted[xcols[d]] = F.expr(f"pmod((`{gx}` + {d}), {n})")
+        shifted[ycols[d]] = F.expr(
+            f"GREATEST(0L, LEAST({n - 1}L, (`{gy}` + {d})))"
         )
     stage = stage.withColumns(shifted)
     # stage the 6 interleave results as their own (multiply-referenced,
@@ -271,18 +326,19 @@ def ring1_cells_col(df, res: int, lon: str = "lon", lat: str = "lat",
     ixcols = {d: f"__r1ix{d + 1}_{out}" for d in (-1, 0, 1)}
     iycols = {d: f"__r1iy{d + 1}_{out}" for d in (-1, 0, 1)}
     stage = stage.withColumns(
-        {ixcols[d]: _part1by1_col(F.col(xcols[d]), res) for d in (-1, 0, 1)}
-        | {iycols[d]: F.shiftleft(_part1by1_col(F.col(ycols[d]), res), 1)
+        {ixcols[d]: F.expr(_part1by1_spark_sql(f"`{xcols[d]}`", res))
+         for d in (-1, 0, 1)}
+        | {iycols[d]: F.expr(
+            f"shiftleft({_part1by1_spark_sql(f'`{ycols[d]}`', res)}, 1)")
            for d in (-1, 0, 1)}
     )
-    base = F.lit(res << _RES_SHIFT)
-    cells = [
-        base.bitwiseOR(F.col(ixcols[dx])).bitwiseOR(F.col(iycols[dy]))
-        .cast("long")
+    base = res << _RES_SHIFT
+    cells = ", ".join(
+        f"CAST((({base}L | `{ixcols[dx]}`) | `{iycols[dy]}`) AS BIGINT)"
         for dx in (-1, 0, 1)
         for dy in (-1, 0, 1)
-    ]
-    return stage.withColumn(out, F.array(*cells)).drop(
+    )
+    return stage.withColumn(out, F.expr(f"array({cells})")).drop(
         gx, gy, *xcols.values(), *ycols.values(),
         *ixcols.values(), *iycols.values()
     )

@@ -71,18 +71,35 @@ def with_cosine(joined: DataFrame, a: str = "emb_a", b: str = "emb_b") -> DataFr
     )
 
 
+def _cosine_prenorm(joined: DataFrame, a: str = "emb_a", b: str = "emb_b",
+                    n2a: str = "_n2a", n2b: str = "_n2b") -> DataFrame:
+    """:func:`with_cosine` over rows that carry precomputed squared
+    norms. The higher-order-function folds evaluate interpreted (no
+    codegen), so computing ``_norm2`` per PAIR was 2/3 of the scoring
+    work; hoisting the norms to the (linear-sized) join inputs leaves
+    only the unavoidable per-pair dot product (guide §1.2 step 1:
+    don't compute things twice). The float values are identical — the
+    same fold over the same array, just evaluated once per row."""
+    return joined.withColumn(
+        "cosine",
+        _dot(F.col(a), F.col(b)) / F.sqrt(F.col(n2a) * F.col(n2b)),
+    )
+
+
 def cosine_topk_brute(embeddings: DataFrame, probe_pred, k: int,
                       id_col: str = "vec_id", vec: str = "embedding") -> DataFrame:
     """Exact top-k neighbors for probe rows (``probe_pred`` selects
     them). Returns (probe_id, neighbor_id, rank). Ties break by
     neighbor_id; self-matches excluded."""
     probes = embeddings.where(probe_pred).select(
-        F.col(id_col).alias("probe_id"), F.col(vec).alias("emb_a")
+        F.col(id_col).alias("probe_id"), F.col(vec).alias("emb_a"),
+        _norm2(F.col(vec)).alias("_n2a"),
     )
     cands = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec).alias("emb_b")
+        F.col(id_col).alias("neighbor_id"), F.col(vec).alias("emb_b"),
+        _norm2(F.col(vec)).alias("_n2b"),
     )
-    scored = with_cosine(F.broadcast(probes).crossJoin(cands)).where(
+    scored = _cosine_prenorm(F.broadcast(probes).crossJoin(cands)).where(
         F.col("probe_id") != F.col("neighbor_id")
     )
     w = Window.partitionBy("probe_id").orderBy(
@@ -211,10 +228,12 @@ def lsh_topk(embeddings: DataFrame, probe_pred, k: int, dims: int,
     bucketed = _bucketed_tables(embeddings, vec, dims, planes, tables)
     probes = bucketed.where(probe_pred).select(
         F.col(id_col).alias("probe_id"), F.col(vec).alias("emb_a"),
+        _norm2(F.col(vec)).alias("_n2a"),
         "_tbl", "_bkt",
     )
     cands = _drop_hot_buckets(bucketed, max_bucket).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec).alias("emb_b"),
+        _norm2(F.col(vec)).alias("_n2b"),
         "_tbl", "_bkt",
     )
     pairs = probes.join(cands, ["_tbl", "_bkt"]).where(
@@ -224,9 +243,10 @@ def lsh_topk(embeddings: DataFrame, probe_pred, k: int, dims: int,
         # a pair colliding in several tables must score once — dedup
         # with a partial-agg groupBy (cheaper than distinct on arrays)
         pairs = pairs.groupBy("probe_id", "neighbor_id").agg(
-            F.first("emb_a").alias("emb_a"), F.first("emb_b").alias("emb_b")
+            F.first("emb_a").alias("emb_a"), F.first("emb_b").alias("emb_b"),
+            F.first("_n2a").alias("_n2a"), F.first("_n2b").alias("_n2b"),
         )
-    scored = with_cosine(pairs)
+    scored = _cosine_prenorm(pairs)
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -249,16 +269,17 @@ def embedding_near_dup_pairs(embeddings: DataFrame, dims: int,
         _bucketed_tables(embeddings, vec, dims, planes, tables), max_bucket
     )
     a = bucketed.select(F.col(id_col).alias("id_a"), F.col(vec).alias("emb_a"),
-                        "_tbl", "_bkt")
+                        _norm2(F.col(vec)).alias("_n2a"), "_tbl", "_bkt")
     b = bucketed.select(F.col(id_col).alias("id_b"), F.col(vec).alias("emb_b"),
-                        "_tbl", "_bkt")
+                        _norm2(F.col(vec)).alias("_n2b"), "_tbl", "_bkt")
     pairs = a.join(b, ["_tbl", "_bkt"]).where(F.col("id_a") < F.col("id_b"))
     if tables > 1:
         pairs = pairs.groupBy("id_a", "id_b").agg(
-            F.first("emb_a").alias("emb_a"), F.first("emb_b").alias("emb_b")
+            F.first("emb_a").alias("emb_a"), F.first("emb_b").alias("emb_b"),
+            F.first("_n2a").alias("_n2a"), F.first("_n2b").alias("_n2b"),
         )
     return (
-        with_cosine(pairs)
+        _cosine_prenorm(pairs)
         .where(F.col("cosine") >= F.lit(threshold_pct) / F.lit(100.0))
         .select("id_a", "id_b")
         .distinct()
@@ -342,13 +363,15 @@ def ivf_topk(embeddings: DataFrame, probe_pred, k: int, dims: int,
     probe_cell = _ivf_assign_udf(centroids, nprobe)
     cands = embeddings.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec).alias("emb_b"),
+        _norm2(F.col(vec)).alias("_n2b"),
         F.element_at(cand_cell(F.col(vec)), 1).alias("_cell"),
     )
     probes = embeddings.where(probe_pred).select(
         F.col(id_col).alias("probe_id"), F.col(vec).alias("emb_a"),
+        _norm2(F.col(vec)).alias("_n2a"),
         F.explode(probe_cell(F.col(vec))).alias("_cell"),
     )
-    scored = with_cosine(probes.join(cands, "_cell")).where(
+    scored = _cosine_prenorm(probes.join(cands, "_cell")).where(
         F.col("probe_id") != F.col("neighbor_id")
     )
     w = Window.partitionBy("probe_id").orderBy(

@@ -133,12 +133,12 @@ def tile_pyramid(points: DataFrame, min_res: int, max_res: int,
     if not 0 <= min_res <= max_res:
         raise ValueError(f"need 0 <= min_res <= max_res, got {min_res}..{max_res}")
     fine = tile_counts(points, max_res, lon, lat)
-    ladder = [
-        (F.col("tile") if s == 0 else C.parent_col(F.col("tile"), s))
+    ladder = ", ".join(
+        ("`tile`" if s == 0 else C.parent_spark_sql("`tile`", s))
         for s in range(max_res - min_res + 1)
-    ]
+    )
     return (
-        fine.select(F.explode(F.array(*ladder)).alias("cell"),
+        fine.select(F.explode(F.expr(f"array({ladder})")).alias("cell"),
                     F.col("n_images"))
         .groupBy("cell")
         .agg(F.sum("n_images").alias("n"))

@@ -170,11 +170,10 @@ def with_geo(df: DataFrame, phash_col: str = "phash") -> DataFrame:
     shift + mask behave identically on signed int64 across numpy,
     Spark and DuckDB (two's complement), verified in tests.
     """
-    p = F.col(phash_col)
-    lo = p.bitwiseAND(F.lit(4294967295))
-    hi = F.shiftright(p, 32).bitwiseAND(F.lit(4294967295))
-    return df.withColumn(
-        "lon", F.lit(-180.0) + lo.cast("double") / F.lit(4294967296.0) * F.lit(360.0)
-    ).withColumn(
-        "lat", F.lit(-85.0) + hi.cast("double") / F.lit(4294967296.0) * F.lit(170.0)
-    )
+    p = f"`{phash_col}`"
+    lo = f"CAST(({p} & 4294967295L) AS DOUBLE)"
+    hi = f"CAST((shiftright({p}, 32) & 4294967295L) AS DOUBLE)"
+    return df.withColumns({
+        "lon": F.expr(f"-180.0D + (({lo} / 4294967296.0D) * 360.0D)"),
+        "lat": F.expr(f"-85.0D + (({hi} / 4294967296.0D) * 170.0D)"),
+    })
