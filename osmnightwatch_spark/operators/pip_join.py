@@ -298,13 +298,33 @@ def pip_join(points: DataFrame, prepared: PreparedPolygons,
     # Join the point's whole ancestor chain [min_res..res] — a native
     # array of parent_col shifts, exploded (~res-min_res+1 narrow rows,
     # no Python, no shuffle under the broadcast strategy).
-    pts = C.attach_cell(points, prepared.res, lon=lon, lat=lat, out="_leaf")
-    chain = ", ".join(
-        C.parent_spark_sql("`_leaf`", s) if s else "`_leaf`"
-        for s in range(0, prepared.res - prepared.min_res + 1)
-    )
-    pts = pts.withColumn("_cell", F.explode(F.expr(f"array({chain})"))) \
-        .drop("_leaf")
+    pts_leaf = C.attach_cell(points, prepared.res, lon=lon, lat=lat,
+                             out="_leaf")
+
+    def with_chain(base: DataFrame, levels: list[int]) -> DataFrame:
+        """Attach ``_cell`` for exactly the given covering levels — an
+        ancestor level with no covering cells can never match, so each
+        branch explodes only the levels its covering actually holds
+        (guide §3: don't multiply the join input for nothing; for the
+        typical uncapped covering the BOUNDARY rim lives only at the
+        leaf res, so that branch skips the explode entirely)."""
+        exprs = [
+            C.parent_spark_sql("`_leaf`", prepared.res - lv)
+            if lv != prepared.res else "`_leaf`"
+            for lv in levels
+        ]
+        if len(exprs) == 1:
+            out = base.withColumn("_cell", F.expr(exprs[0]))
+        else:
+            out = base.withColumn(
+                "_cell", F.explode(F.expr(f"array({', '.join(exprs)})"))
+            )
+        return out.drop("_leaf")
+
+    cov_res = prepared.covering["cell"].to_numpy() >> 58
+    cov_kind = prepared.covering["kind"].to_numpy()
+    all_levels = sorted({int(r) for r in np.unique(cov_res)})
+    pts = with_chain(pts_leaf, all_levels)
     cov = cov.withColumnRenamed("cell", "_cell")
     if strategy == "broadcast":
         joined = pts.join(F.broadcast(cov), "_cell")
@@ -329,10 +349,22 @@ def pip_join(points: DataFrame, prepared: PreparedPolygons,
     # Split FULL hits (inside by construction — never touch Python)
     # from BOUNDARY hits (exact ray-cast refine). An OR-filter would
     # run the UDF over every joined row; at scale FULL rows dominate.
-    full_hits = joined.where(F.col("kind") == F.lit(FULL))
-    boundary_hits = joined.where(F.col("kind") == F.lit(BOUNDARY)).where(
-        inside(F.col(lon), F.col(lat), F.col("polygon_id"))
-    )
+    # Each branch scans the input separately anyway, so give each its
+    # own minimal ancestor chain (per-kind covering levels).
+    if strategy == "broadcast":
+        full_levels = sorted({int(r) for r in np.unique(cov_res[cov_kind == FULL])})
+        bnd_levels = sorted({int(r) for r in np.unique(cov_res[cov_kind == BOUNDARY])})
+        full_hits = with_chain(pts_leaf, full_levels or [prepared.res]).join(
+            F.broadcast(cov.where(F.col("kind") == F.lit(FULL))), "_cell"
+        )
+        boundary_hits = with_chain(pts_leaf, bnd_levels or [prepared.res]).join(
+            F.broadcast(cov.where(F.col("kind") == F.lit(BOUNDARY))), "_cell"
+        ).where(inside(F.col(lon), F.col(lat), F.col("polygon_id")))
+    else:
+        full_hits = joined.where(F.col("kind") == F.lit(FULL))
+        boundary_hits = joined.where(F.col("kind") == F.lit(BOUNDARY)).where(
+            inside(F.col(lon), F.col(lat), F.col("polygon_id"))
+        )
     return full_hits.unionByName(boundary_hits).drop("_cell", "kind")
 
 

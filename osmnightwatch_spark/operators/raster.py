@@ -58,14 +58,18 @@ def density_grid(points: DataFrame, res: int, depth: int = 4,
                  lon: str = "lon", lat: str = "lat") -> DataFrame:
     """``(cell, px, py, n)`` — point counts on the 2^depth square pixel
     grid of every non-empty res-``res`` tile (px east, py north)."""
-    fine = points.select(
-        C.cell_col(F.col(lon), F.col(lat), res + depth).alias("_fc"))
+    # attach_cell (staged grid cols + one expr string per layer) keeps
+    # the floor chain out of the interleave refs and the plan build off
+    # the py4j chatter path — same cell ids as the inline cell_col
+    fine = C.attach_cell(points.select(F.col(lon), F.col(lat)),
+                         res + depth, lon=lon, lat=lat, out="_fc") \
+        .select("_fc")
     counts = fine.groupBy("_fc").agg(F.count("*").alias("n"))
-    morton = F.col("_fc").bitwiseAND(F.lit((1 << 2 * depth) - 1))
+    morton = f"((`_fc`) & {(1 << 2 * depth) - 1})"
     return counts.select(
-        C.parent_col(F.col("_fc"), depth).alias("cell"),
-        _pixel_bits_col(morton, depth).alias("px"),
-        _pixel_bits_col(F.shiftrightunsigned(morton, 1), depth).alias("py"),
+        F.expr(C.parent_spark_sql("`_fc`", depth)).alias("cell"),
+        F.expr(_pixel_bits_sql(morton, depth)).alias("px"),
+        F.expr(_pixel_bits_sql(f"({morton} >> 1)", depth)).alias("py"),
         "n",
     )
 

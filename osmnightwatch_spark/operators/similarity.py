@@ -218,14 +218,27 @@ def _drop_hot_buckets(bucketed: DataFrame, max_bucket: int | None) -> DataFrame:
 def lsh_topk(embeddings: DataFrame, probe_pred, k: int, dims: int,
              id_col: str = "vec_id", vec: str = "embedding",
              planes: int = N_PLANES, tables: int = 1,
-             max_bucket: int | None = None) -> DataFrame:
+             max_bucket: int | None = None,
+             materialize: bool = True) -> DataFrame:
     """ANN top-k across ``tables`` LSH hash tables (approximate:
     recall grows with tables, bucket size shrinks with planes). Same
     output shape as brute. At scale pass ``planes=planes_for(n)``,
     ``tables=2..8`` and a ``max_bucket`` cap: the per-bucket self-join
     is then O(n · bucket) with bucket held constant — linear in n —
-    instead of O(n²/2^planes) with a fixed plane count."""
+    instead of O(n²/2^planes) with a fixed plane count.
+
+    The bucketed table feeds three consumers (hot-bucket stats, probe
+    side, candidate side); left lazy, the Arrow bucket kernel runs
+    once per consumer and each evaluation pays the per-stage Python
+    setup. ``materialize=True`` (default) persists the bucketed table,
+    eager-checkpoints the (k × probes)-sized result and unpersists —
+    the knn-style leak-free lifecycle (measured 1.85 → 1.03 s at
+    sf0.1; at corpus scale the bucketed table is the reusable index
+    artifact a real pipeline would persist anyway). ``False`` returns
+    the fully lazy plan (composition / plan-inspection use)."""
     bucketed = _bucketed_tables(embeddings, vec, dims, planes, tables)
+    if materialize:
+        bucketed = bucketed.persist()
     probes = bucketed.where(probe_pred).select(
         F.col(id_col).alias("probe_id"), F.col(vec).alias("emb_a"),
         _norm2(F.col(vec)).alias("_n2a"),
@@ -250,24 +263,32 @@ def lsh_topk(embeddings: DataFrame, probe_pred, k: int, dims: int,
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "rank")
     )
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        bucketed.unpersist()
+    return out
 
 
 def embedding_near_dup_pairs(embeddings: DataFrame, dims: int,
                              threshold_pct: int = 99,
                              id_col: str = "vec_id", vec: str = "embedding",
                              planes: int = N_PLANES, tables: int = 1,
-                             max_bucket: int | None = None) -> DataFrame:
+                             max_bucket: int | None = None,
+                             materialize: bool = True) -> DataFrame:
     """Embedding-cosine near-dup pairs within LSH buckets:
     (id_a, id_b) with cosine ≥ threshold_pct/100, id_a < id_b.
-    Multi-table + ``max_bucket`` scale controls as :func:`lsh_topk`."""
-    bucketed = _drop_hot_buckets(
-        _bucketed_tables(embeddings, vec, dims, planes, tables), max_bucket
-    )
+    Multi-table + ``max_bucket`` scale controls as :func:`lsh_topk`,
+    and the same ``materialize`` lifecycle (the bucketed table feeds
+    both self-join sides plus the hot-bucket stats)."""
+    raw = _bucketed_tables(embeddings, vec, dims, planes, tables)
+    if materialize:
+        raw = raw.persist()
+    bucketed = _drop_hot_buckets(raw, max_bucket)
     a = bucketed.select(F.col(id_col).alias("id_a"), F.col(vec).alias("emb_a"),
                         _norm2(F.col(vec)).alias("_n2a"), "_tbl", "_bkt")
     b = bucketed.select(F.col(id_col).alias("id_b"), F.col(vec).alias("emb_b"),
@@ -278,12 +299,16 @@ def embedding_near_dup_pairs(embeddings: DataFrame, dims: int,
             F.first("emb_a").alias("emb_a"), F.first("emb_b").alias("emb_b"),
             F.first("_n2a").alias("_n2a"), F.first("_n2b").alias("_n2b"),
         )
-    return (
+    out = (
         _cosine_prenorm(pairs)
         .where(F.col("cosine") >= F.lit(threshold_pct) / F.lit(100.0))
         .select("id_a", "id_b")
         .distinct()
     )
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        raw.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------

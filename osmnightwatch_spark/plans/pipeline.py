@@ -52,8 +52,15 @@ def flagship_points(pts: DataFrame, tile_res: int = 8, cover_res: int = 7,
 
 def flagship(images: DataFrame, tile_res: int = 8, cover_res: int = 7,
              prepared: PreparedPolygons | None = None) -> DataFrame:
-    """images (input_hint shape) → flagship rollup (geotag from phash)."""
-    pts = I.with_geo(images.select("image_id", "phash"))
+    """images (input_hint shape) → flagship rollup (geotag from phash).
+
+    Projects to ``phash`` alone before the join: the rollup output
+    carries no per-image id, so ``image_id`` would otherwise ride the
+    ancestor-chain explode and both union branches for nothing
+    (guide §2.3 "project before the exchange" — here, before the
+    fan-out; the parquet scan then reads a single column).
+    """
+    pts = I.with_geo(images.select("phash"))
     return flagship_points(pts, tile_res, cover_res, prepared)
 
 

@@ -61,6 +61,22 @@ def get_spark(app: str = "osmnightwatch_spark", cores: int | None = None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Scan-split floor: cores/2 instead of the default (= cores).
+        # Small tables then pack multiple files per split (one task
+        # wave instead of 2-3 of 17 MB tasks — guide §2.2 "fewer,
+        # larger map tasks", §6 input split size; measured 48→16 scan
+        # tasks and flagship 2.1→0.8 s at sf0.1). Scale-adaptive, not
+        # a local tune: for big inputs maxPartitionBytes (128 MB)
+        # governs the split size and this floor is inert — e.g. the
+        # 840 MB bytes-bearing scaling workload splits identically at
+        # 2 and 8 cores before and after.
+        .config("spark.sql.files.minPartitionNum", str(max(1, cores // 2)))
+        # Let AQE re-coalesce stages above cached plans: the knn top-k
+        # persist otherwise pins every post-shuffle stage at the full
+        # static shuffle partition count (measured 4 × 64-task stages
+        # over ~1k cached rows; knn 1.14→0.96 s with this on).
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
