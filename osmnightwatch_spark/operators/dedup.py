@@ -56,6 +56,17 @@ def shingles(df: DataFrame, id_col: str, text: str = "text",
         f"transform(sequence(1, greatest(length({text}) - {size - 1}, 1), {stride}),"
         f" p -> substring({text}, p, {size}))"
     )
+    # Small-input parallelism rescue: a single-file documents table
+    # scans as ONE task, so the whole shingle explode + every md5 of
+    # the minhash signature pass would run single-threaded (measured:
+    # the dominant cost of dedup_minhash at bench scale). Round-robin
+    # the rows across the cores first when the scan is narrower than
+    # the session's parallelism — a shuffle of the raw (tiny) rows.
+    # At corpus scale the input arrives in many splits and this is a
+    # no-op (no repartition node in the plan).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(par, 16):
+        df = df.repartition(min(par, 16))
     out = df.select(F.col(id_col), F.explode(arr).alias("shingle"))
     return out.distinct() if distinct else out
 
@@ -99,7 +110,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text: str = "text",
                       bands: int = 8, size: int = DEFAULT_SHINGLE,
                       stride: int = DEFAULT_STRIDE,
                       max_bucket: int = 1000,
-                      materialize: bool = False) -> DataFrame:
+                      materialize: bool = True) -> DataFrame:
     """Candidate near-dup pairs: documents sharing ≥1 (band, min-hash)
     bucket. Returns (id_a, id_b, n_shared_bands), id_a < id_b.
 
@@ -114,14 +125,16 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text: str = "text",
     The signature table feeds three consumers (the hot-bucket stats
     and both sides of the pair join). Catalyst does not reuse the sig
     exchange across them (canonical plans diverge above it), so the
-    default recomputes sig per consumer — measured FASTER here than
-    both the persist lifecycle and lazy localCheckpoint, because sig
-    is one scan + one exchange and the materialization paths pay an
-    extra job plus an AQE-bypassing RDD conversion. At 10^12 docs
-    signatures are the reusable artifact of a minhash pipeline and
-    would be a persisted table between jobs; ``materialize=True``
-    gives that shape in-session with the leak-free knn lifecycle
-    (persist sig → eager-checkpoint the pair table → unpersist)."""
+    lazy form recomputes sig — and its 8-md5-per-shingle pass, the
+    dominant CPU of the whole query — once per consumer.
+    ``materialize=True`` (default) persists sig, eager-checkpoints the
+    pair table and unpersists — the leak-free knn lifecycle (measured
+    1.37 → 1.12 s at sf0.1 with AQE-over-cached-plans on; an earlier
+    round measured the opposite before that config existed). At 10^12
+    docs signatures are the reusable artifact of a minhash pipeline
+    and would be a persisted table between jobs anyway.
+    ``materialize=False`` returns the fully lazy plan (composition /
+    plan-inspection use)."""
     sig = minhash_bands(
         shingles(df, id_col, text, size, stride, distinct=False), id_col, bands
     )

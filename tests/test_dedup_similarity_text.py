@@ -235,7 +235,8 @@ def test_phash_guard_rejects_bad_hamming(spark):
 def test_minhash_guard_plan_has_no_window(spark, docs):
     """The skew guard must be partial-agg + broadcast anti-join, not a
     window over the bucket key (VERDICT r01 'what's wrong' #2)."""
-    plan = D.minhash_lsh_pairs(docs, "doc_id")._jdf.queryExecution().executedPlan().toString()
+    plan = (D.minhash_lsh_pairs(docs, "doc_id", materialize=False)
+            ._jdf.queryExecution().executedPlan().toString())
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
