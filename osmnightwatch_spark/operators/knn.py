@@ -273,14 +273,41 @@ def knn_join(probes: DataFrame, candidates: DataFrame, k: int,
         if n_candidates is None:
             n_candidates = candidates.count()
         res = auto_res(n_candidates, k)
-    n_probes = probes.count() if (exact and materialize) else None
-    # auto: broadcast the ring-exploded probe side when the probe set
-    # is small (see BROADCAST_PROBE_MAX); callers with out-of-band
-    # knowledge (self-kNN, lazy plans) can force either way
-    if broadcast_probes is not None:
-        bcast_probes = broadcast_probes
-    else:
-        bcast_probes = n_probes is not None and n_probes <= BROADCAST_PROBE_MAX
+    # The probe count (exactness accounting + broadcast decision) is a
+    # real Spark job; run it on a driver thread so it overlaps the
+    # ~0.5 s of ring-plan construction below instead of preceding it
+    # (guide §2.6 "overlap independent jobs" — here the overlap is
+    # job-vs-driver-planning). The count is joined exactly where its
+    # value is first needed.
+    _count_box: dict = {}
+    _count_th = None
+    if exact and materialize:
+        import threading
+
+        from pyspark import inheritable_thread_target
+
+        @inheritable_thread_target
+        def _probe_count():
+            _count_box["n"] = probes.count()
+
+        _count_th = threading.Thread(target=_probe_count, daemon=True)
+        _count_th.start()
+
+    def _n_probes():
+        if _count_th is not None:
+            _count_th.join()
+            return _count_box["n"]
+        return None
+
+    def _bcast_probes():
+        # auto: broadcast the ring-exploded probe side when the probe
+        # set is small (see BROADCAST_PROBE_MAX); callers with out-of-
+        # band knowledge (self-kNN, lazy plans) can force either way
+        if broadcast_probes is not None:
+            return broadcast_probes
+        n = _n_probes()
+        return n is not None and n <= BROADCAST_PROBE_MAX
+
     p = probes.select(
         F.col(probe_id).alias("_pid"),
         F.col(lon).alias("_plon"),
@@ -301,8 +328,6 @@ def knn_join(probes: DataFrame, candidates: DataFrame, k: int,
     w = Window.partitionBy("_pid").orderBy(F.col("dist2").asc(), F.col("_cid").asc())
 
     def ring_topk(p_sub: DataFrame, r: int, bcast: bool | None = None) -> DataFrame:
-        if bcast is None:
-            bcast = bcast_probes
         if r == 1:
             # common round: fully native 3×3 ring (no Python anywhere
             # in the plan) — at self-kNN scale the probe side is the
@@ -323,6 +348,10 @@ def knn_join(probes: DataFrame, candidates: DataFrame, k: int,
                 F.explode(F.array_distinct(_ring_cells(F.col("_pcell"),
                                                        F.lit(r)))),
             ).drop("_pcell")
+        if bcast is None:
+            # resolved as late as possible: joins the overlapped
+            # probe-count thread only once the plan above is built
+            bcast = _bcast_probes()
         if bcast:
             exploded = F.broadcast(exploded)
         paired = exploded.join(c, "_ccell").where(F.col("_pid") != F.col("_cid"))
@@ -401,6 +430,7 @@ def knn_join(probes: DataFrame, candidates: DataFrame, k: int,
     if materialize:
         ok = ok_probes(ranked, 1)
         n_ok = ok.count()
+        n_probes = _n_probes()
         if n_ok == n_probes:
             # every probe exact ⇒ the semi-join would keep every
             # ranked row — checkpoint the persisted top-k directly
@@ -432,7 +462,7 @@ def knn_join(probes: DataFrame, candidates: DataFrame, k: int,
         bcast_r2 = n_residue <= max(1, BROADCAST_PROBE_MAX * 9
                                     // ((2 * r2 + 1) ** 2))
     else:
-        bcast_r2 = bcast_probes  # lazy path: keep the ring-1 decision
+        bcast_r2 = _bcast_probes()  # lazy path: keep the ring-1 decision
     ranked2 = ring_topk(residue, r2, bcast=bcast_r2)
     if r2 >= r_full:
         # the expanded ring already spans the whole grid: provably
