@@ -355,9 +355,16 @@ def knn_join(probes: DataFrame, candidates: DataFrame, k: int,
         if bcast:
             exploded = F.broadcast(exploded)
         paired = exploded.join(c, "_ccell").where(F.col("_pid") != F.col("_cid"))
+        # one select instead of two withColumns: each Dataset op
+        # re-analyzes the whole (deep) plan eagerly, so fusing the
+        # dist2 projection and the window (ordering by the distance
+        # EXPRESSION — same values as ordering by the column) into a
+        # single projection saves a full analysis pass per ring round
+        w_inline = Window.partitionBy("_pid").orderBy(
+            d2.asc(), F.col("_cid").asc())
         return (
-            paired.withColumn("dist2", d2)
-            .withColumn("rank", F.row_number().over(w))
+            paired.select("*", d2.alias("dist2"),
+                          F.row_number().over(w_inline).alias("rank"))
             .where(F.col("rank") <= k)
         )
 

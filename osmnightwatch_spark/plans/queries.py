@@ -2493,62 +2493,14 @@ def _sql_cms_counts() -> str:
 # ---------------------------------------------------------------------------
 
 # Ordering contract: the driver checks the FIRST 50 entries each
-# round. Slots 1-50 carry this round's maximum signal (never-checked
-# + new + changed + stale-green queries); the tail is the documented
-# rotation of multiply-green micro queries (STATUS.md "registry
-# rotation"). Keep QUERIES and ORACLES in the SAME order.
+# round. r6 rotation (VERDICT r5 item #1): the 42 queries whose
+# last driver row was r4 move INTO the window, joined by 8
+# r5-green queries whose operators this optimization round
+# touched most (pip/cells trunk, similarity scoring, minhash) —
+# maximum-signal slots 1-50. The tail is the multiply-green r5
+# window (STATUS.md "registry rotation"). Keep QUERIES and
+# ORACLES in the SAME order.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "substring_cut": q_substring_cut,
-    "corpus_build": q_corpus_build,
-    "phash_near_dup": q_phash_near_dup,
-    "incremental_flagship": q_incremental_flagship,
-    "asof_bucketed": q_asof_bucketed,
-    "dp_simplify": q_dp_simplify,
-    "catchup_ladder": q_catchup_ladder,
-    "dsir_sample": q_dsir_sample,
-    "rect_overlay": q_rect_overlay,
-    "geo_balanced": q_geo_balanced,
-    "colocation": q_colocation,
-    "speed_filter": q_speed_filter,
-    "hausdorff": q_hausdorff,
-    "tile_pyramid": q_tile_pyramid,
-    "clip_tiles": q_clip_tiles,
-    "map_match": q_map_match,
-    "geofence": q_geofence,
-    "ring_stats": q_ring_stats,
-    "convex_hull": q_convex_hull,
-    "track_resample": q_track_resample,
-    "density_grid": q_density_grid,
-    "quantile_sketch": q_quantile_sketch,
-    "cms_counts": q_cms_counts,
-    "images_flagship": q_images_flagship,
-    "polygon_assembly": q_polygon_assembly,
-    "cdc_merge": q_cdc_merge,
-    "admin_diff": q_admin_diff,
-    "coastline_issues": q_coastline_issues,
-    "expected_admins_corpus": q_expected_admins_corpus,
-    "important_features": q_important_features,
-    "asof_join": q_asof_join,
-    "idw_surface": q_idw_surface,
-    "path_length": q_path_length,
-    "corpus_cube": q_corpus_cube,
-    "hotspots": q_hotspots,
-    "od_matrix": q_od_matrix,
-    "snap_simplify": q_snap_simplify,
-    "bm25_topk": q_bm25,
-    "minhash_pairs": q_minhash_pairs,
-    "dedup_clusters": q_dedup_clusters,
-    "stratified_sample": q_stratified_sample,
-    "pack_sequences": q_pack_sequences,
-    "decontaminate": q_decontaminate,
-    "simhash_groups": q_simhash_groups,
-    "cosine_topk": q_cosine_topk,
-    "lsh_histogram": q_lsh_histogram,
-    "ann_lsh_topk": q_ann_lsh_topk,
-    "winnow_fingerprints": q_winnow_fingerprints,
-    "embedding_near_dup": q_embedding_near_dup,
-    "adaptive_cell_split": q_adaptive_cell_split,
-    # ---- tail: multiply-green, unchanged (rotation rule) ----
     "id_semi_join_scan": q_id_semi_join_scan,
     "semdedup": q_semdedup,
     "knn_events": q_knn_events,
@@ -2591,60 +2543,60 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "broadcast_dims": q_broadcast_dims,
     "anti_join_missing": q_anti_join_missing,
     "full_outer_diff": q_full_outer_diff,
+    "images_flagship": q_images_flagship,
+    "cosine_topk": q_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    "minhash_pairs": q_minhash_pairs,
+    "dedup_clusters": q_dedup_clusters,
+    "density_grid": q_density_grid,
+    "tile_pyramid": q_tile_pyramid,
+    # ---- tail: multiply-green r5 window (rotation rule) ----
+    "substring_cut": q_substring_cut,
+    "corpus_build": q_corpus_build,
+    "phash_near_dup": q_phash_near_dup,
+    "incremental_flagship": q_incremental_flagship,
+    "asof_bucketed": q_asof_bucketed,
+    "dp_simplify": q_dp_simplify,
+    "catchup_ladder": q_catchup_ladder,
+    "dsir_sample": q_dsir_sample,
+    "rect_overlay": q_rect_overlay,
+    "geo_balanced": q_geo_balanced,
+    "colocation": q_colocation,
+    "speed_filter": q_speed_filter,
+    "hausdorff": q_hausdorff,
+    "clip_tiles": q_clip_tiles,
+    "map_match": q_map_match,
+    "geofence": q_geofence,
+    "ring_stats": q_ring_stats,
+    "convex_hull": q_convex_hull,
+    "track_resample": q_track_resample,
+    "quantile_sketch": q_quantile_sketch,
+    "cms_counts": q_cms_counts,
+    "polygon_assembly": q_polygon_assembly,
+    "cdc_merge": q_cdc_merge,
+    "admin_diff": q_admin_diff,
+    "coastline_issues": q_coastline_issues,
+    "expected_admins_corpus": q_expected_admins_corpus,
+    "important_features": q_important_features,
+    "asof_join": q_asof_join,
+    "idw_surface": q_idw_surface,
+    "path_length": q_path_length,
+    "corpus_cube": q_corpus_cube,
+    "hotspots": q_hotspots,
+    "od_matrix": q_od_matrix,
+    "snap_simplify": q_snap_simplify,
+    "bm25_topk": q_bm25,
+    "stratified_sample": q_stratified_sample,
+    "pack_sequences": q_pack_sequences,
+    "decontaminate": q_decontaminate,
+    "simhash_groups": q_simhash_groups,
+    "lsh_histogram": q_lsh_histogram,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "adaptive_cell_split": q_adaptive_cell_split,
 }
 
 ORACLES: dict[str, str] = {
-    "substring_cut": _sql_substring_cut(),
-    "corpus_build": _sql_corpus_build(),
-    "phash_near_dup": _sql_phash_near_dup(),
-    "incremental_flagship": _sql_incremental_flagship(),
-    "asof_bucketed": _sql_asof_join(),
-    "dp_simplify": _sql_dp_simplify(),
-    "catchup_ladder": _sql_catchup_ladder(),
-    "dsir_sample": _sql_dsir_sample(),
-    "rect_overlay": _sql_rect_overlay(),
-    "geo_balanced": _sql_geo_balanced(),
-    "colocation": _sql_colocation(),
-    "speed_filter": _sql_speed_filter(),
-    "hausdorff": _sql_hausdorff(),
-    "tile_pyramid": _sql_tile_pyramid(),
-    "clip_tiles": _sql_clip_tiles(),
-    "map_match": _sql_map_match(),
-    "geofence": _sql_geofence(),
-    "ring_stats": _sql_ring_stats(),
-    "convex_hull": _sql_convex_hull(),
-    "track_resample": _sql_track_resample(),
-    "density_grid": _sql_density_grid(),
-    "quantile_sketch": _sql_quantile_sketch(),
-    "cms_counts": _sql_cms_counts(),
-    "images_flagship": SQL_images_flagship,
-    "polygon_assembly": AF.oracle_sql(),
-    "cdc_merge": SQL_cdc_merge,
-    "admin_diff": SQL_admin_diff,
-    "coastline_issues": CF.oracle_sql(),
-    "expected_admins_corpus": SQL_expected_admins_corpus,
-    "important_features": SQL_important_features,
-    "asof_join": _sql_asof_join(),
-    "idw_surface": _sql_idw_surface(),
-    "path_length": _sql_path_length(),
-    "corpus_cube": SQL_corpus_cube,
-    "hotspots": _sql_hotspots(),
-    "od_matrix": _sql_od_matrix(),
-    "snap_simplify": _sql_snap_simplify(),
-    "bm25_topk": _sql_bm25(),
-    "minhash_pairs": _sql_minhash_pairs(),
-    "dedup_clusters": _sql_dedup_clusters(),
-    "stratified_sample": _sql_stratified_sample(),
-    "pack_sequences": _sql_pack_sequences(),
-    "decontaminate": _sql_decontaminate(),
-    "simhash_groups": _sql_simhash_groups(),
-    "cosine_topk": SQL_cosine_topk,
-    "lsh_histogram": _sql_lsh_histogram(),
-    "ann_lsh_topk": _sql_ann_lsh_topk(),
-    "winnow_fingerprints": _sql_winnow_fingerprints(),
-    "embedding_near_dup": _sql_embedding_near_dup(),
-    "adaptive_cell_split": _sql_adaptive_cell_split(),
-    # ---- tail: multiply-green, unchanged (rotation rule) ----
     "id_semi_join_scan": SQL_id_semi_join_scan,
     "semdedup": _sql_semdedup(),
     "knn_events": SQL_knn_events,
@@ -2687,4 +2639,55 @@ ORACLES: dict[str, str] = {
     "broadcast_dims": SQL_broadcast_dims,
     "anti_join_missing": SQL_anti_join_missing,
     "full_outer_diff": SQL_full_outer_diff,
+    "images_flagship": SQL_images_flagship,
+    "cosine_topk": SQL_cosine_topk,
+    "ann_lsh_topk": _sql_ann_lsh_topk(),
+    "embedding_near_dup": _sql_embedding_near_dup(),
+    "minhash_pairs": _sql_minhash_pairs(),
+    "dedup_clusters": _sql_dedup_clusters(),
+    "density_grid": _sql_density_grid(),
+    "tile_pyramid": _sql_tile_pyramid(),
+    # ---- tail: multiply-green r5 window (rotation rule) ----
+    "substring_cut": _sql_substring_cut(),
+    "corpus_build": _sql_corpus_build(),
+    "phash_near_dup": _sql_phash_near_dup(),
+    "incremental_flagship": _sql_incremental_flagship(),
+    "asof_bucketed": _sql_asof_join(),
+    "dp_simplify": _sql_dp_simplify(),
+    "catchup_ladder": _sql_catchup_ladder(),
+    "dsir_sample": _sql_dsir_sample(),
+    "rect_overlay": _sql_rect_overlay(),
+    "geo_balanced": _sql_geo_balanced(),
+    "colocation": _sql_colocation(),
+    "speed_filter": _sql_speed_filter(),
+    "hausdorff": _sql_hausdorff(),
+    "clip_tiles": _sql_clip_tiles(),
+    "map_match": _sql_map_match(),
+    "geofence": _sql_geofence(),
+    "ring_stats": _sql_ring_stats(),
+    "convex_hull": _sql_convex_hull(),
+    "track_resample": _sql_track_resample(),
+    "quantile_sketch": _sql_quantile_sketch(),
+    "cms_counts": _sql_cms_counts(),
+    "polygon_assembly": AF.oracle_sql(),
+    "cdc_merge": SQL_cdc_merge,
+    "admin_diff": SQL_admin_diff,
+    "coastline_issues": CF.oracle_sql(),
+    "expected_admins_corpus": SQL_expected_admins_corpus,
+    "important_features": SQL_important_features,
+    "asof_join": _sql_asof_join(),
+    "idw_surface": _sql_idw_surface(),
+    "path_length": _sql_path_length(),
+    "corpus_cube": SQL_corpus_cube,
+    "hotspots": _sql_hotspots(),
+    "od_matrix": _sql_od_matrix(),
+    "snap_simplify": _sql_snap_simplify(),
+    "bm25_topk": _sql_bm25(),
+    "stratified_sample": _sql_stratified_sample(),
+    "pack_sequences": _sql_pack_sequences(),
+    "decontaminate": _sql_decontaminate(),
+    "simhash_groups": _sql_simhash_groups(),
+    "lsh_histogram": _sql_lsh_histogram(),
+    "winnow_fingerprints": _sql_winnow_fingerprints(),
+    "adaptive_cell_split": _sql_adaptive_cell_split(),
 }

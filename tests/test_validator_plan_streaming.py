@@ -268,7 +268,7 @@ def test_lsh_multitable_plan_shape(spark):
         "embedding": list(map(list, rng.normal(size=(500, 8)))),
     }))
     out = lsh_topk(df, F.col("vec_id") % 50 == 0, k=3, dims=8,
-                   planes=5, tables=2, max_bucket=100)
+                   planes=5, tables=2, max_bucket=100, materialize=False)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
