@@ -58,7 +58,16 @@ def clip_segments_to_tiles(segs: DataFrame, res: int,
     """Clip each segment to every tile it positively crosses →
     ``(seg_id, tile, cx1, cy1, cx2, cy2, t0, t1)`` with
     ``(cx1, cy1)-(cx2, cy2)`` the sub-segment inside the tile and
-    ``[t0, t1]`` its parameter interval on the original segment."""
+    ``[t0, t1]`` its parameter interval on the original segment.
+
+    Boundary semantics (pinned, ADVICE r5): "positively crosses" is
+    OPEN — an axis-aligned segment lying EXACTLY on a tile boundary
+    (common for admin rectangles at round lat/lon) has zero-height
+    overlap with both adjacent tiles and is emitted for NEITHER; edge
+    touches are likewise dropped. Callers that must keep grid-aligned
+    geometry should nudge such segments off the boundary by an ulp (or
+    pre-assign them to a deterministic side) before clipping; the
+    engine and the DuckDB twin share the open rule bit-for-bit."""
     n = 1 << res
     w, h = 360.0 / n, 180.0 / n
 

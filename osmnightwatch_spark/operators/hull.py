@@ -66,9 +66,14 @@ def _chain(xs, ys):
 
 def convex_hull(points: DataFrame, entity: str = "entity",
                 x: str = "x", y: str = "y") -> DataFrame:
-    """``(entity, hx, hy)`` — one row per minimal hull vertex."""
+    """``(entity, hx, hy)`` — one row per minimal hull vertex.
+
+    The entity column passes through with its input dtype (the output
+    schema is derived from ``points.schema`` — ADVICE r5: it was
+    hardcoded ``long``, so string entity keys failed at runtime)."""
     import pandas as pd
 
+    entity_type = points.schema[entity].dataType.simpleString()
     pts = points.select(F.col(entity).alias("entity"),
                         F.col(x).cast("long").alias("_x"),
                         F.col(y).cast("long").alias("_y")).distinct()
@@ -85,7 +90,7 @@ def convex_hull(points: DataFrame, entity: str = "entity",
                              "hy": [h[1] for h in hull]})
 
     return pts.groupBy("entity").applyInPandas(
-        kernel, "entity long, hx long, hy long")
+        kernel, f"entity {entity_type}, hx long, hy long")
 
 
 def convex_hull_sql(points_sql: str, entity: str = "entity",

@@ -65,7 +65,21 @@ def _msb_duck_sql(v: str) -> str:
 def qsketch(df: DataFrame, value: str, group: str | None = None,
             sub_bits: int = 3) -> DataFrame:
     """``(grp?, bid, cnt)`` — the mergeable sketch (merge = groupBy the
-    same keys, sum cnt). Rows with value < 1 are dropped."""
+    same keys, sum cnt). Rows with value < 1 are dropped.
+
+    Domain (enforced, ADVICE r5): ``value`` must be an integral
+    column. A double column would silently diverge between engines —
+    Spark ``CAST(double AS LONG)`` truncates while DuckDB rounds
+    half-to-even — so non-integral dtypes raise instead."""
+    from pyspark.sql import types as _T
+
+    dt = df.schema[value].dataType
+    if not isinstance(dt, (_T.ByteType, _T.ShortType, _T.IntegerType,
+                           _T.LongType)):
+        raise TypeError(
+            f"qsketch value column {value!r} must be integral, got {dt}"
+            " (Spark casts doubles by truncation, DuckDB by rounding —"
+            " floor() explicitly first)")
     m = 1 << sub_bits
     k = f"GREATEST(0, {_msb_spark_sql(value)} - {sub_bits})"
     bid = (f"CAST({k} AS BIGINT) * {m}"

@@ -132,6 +132,12 @@ def track_resample(points: DataFrame, step_s: int,
     pre-alignment before co-location / OD / Hausdorff comparisons
     (uneven sampling rates otherwise dominate those measures).
 
+    Domain (pinned, ADVICE r5): timestamps must be ``>= 0`` (epoch
+    seconds). The grid-index ceiling ``(t + W - 1) div W`` relies on
+    truncation-toward-zero matching floor for non-negative operands;
+    for pre-1970 (negative) timestamps Spark's ``div`` and DuckDB's
+    ``//`` would diverge. Shift epochs before resampling if needed.
+
     Semantics (pinned): fixes are deduplicated to one per
     ``(entity, ts)`` first (position ties share the row; the dedup is
     on the full tuple, so distinct positions at one ts are a caller

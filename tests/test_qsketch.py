@@ -93,3 +93,15 @@ def test_ungrouped_and_determinism(spark):
                qsketch_quantiles(qsketch(df.repartition(13), "v"),
                                  [0.5, 0.9]).collect())
     assert a == b and len(a) == 2
+
+
+def test_qsketch_rejects_non_integral_value(spark):
+    """ADVICE r5: Spark CAST(double AS LONG) truncates, DuckDB rounds
+    half-to-even — a double-typed value column must raise, not build
+    engine-divergent sketches."""
+    import pytest
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"v": [1.5, 2.5, 3.0]}))
+    with pytest.raises(TypeError, match="integral"):
+        qsketch(df, "v")

@@ -209,3 +209,18 @@ def test_resample_duplicate_fix_dedup_and_determinism(spark):
     b = sorted((r.tg, r.lon_g) for r in
                track_resample(df.repartition(7), 100, ts="te").collect())
     assert a == b == [(100, 1.0), (200, 11.0)]
+
+
+def test_hull_string_entity_key(spark):
+    """ADVICE r5: the output schema derives the entity dtype from the
+    input instead of hardcoding long — string keys must work."""
+    pdf = pd.DataFrame(
+        [("a", 0, 0), ("a", 4, 0), ("a", 0, 4), ("a", 1, 1),
+         ("b", 0, 0), ("b", 2, 2)],
+        columns=["entity", "x", "y"])
+    out = convex_hull(spark.createDataFrame(pdf)).toPandas()
+    assert out["entity"].dtype == object
+    got = {e: set(map(tuple, g[["hx", "hy"]].to_numpy()))
+           for e, g in out.groupby("entity")}
+    assert got["a"] == {(0, 0), (4, 0), (0, 4)}
+    assert got["b"] == {(0, 0), (2, 2)}
