@@ -7,8 +7,14 @@ here are cited in OPTIMIZATION_r06.md.
 
 Usage:
     python bench_extra.py [suite ...]   # default: all suites
-Suites: flagship, knn, minhash, similarity, spatial
+Suites: flagship, knn, minhash, similarity, spatial, sf1
 Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, SPARK_GRAFT_XRUNS (default 5)
+
+The ``sf1`` suite times the scale-sensitive similarity/dedup
+operators over the deterministic 10× replica that
+``tools/sf1_oracle_sweep.py`` generates under ``data/sf1_synth``
+(run that first) — the scale-holding timing evidence cited in
+OPTIMIZATION_r06.md.
 """
 
 from __future__ import annotations
@@ -142,6 +148,29 @@ def main() -> None:
         timed("ann_ivf_scaled", lambda: ivf_topk(
             emb, F.col("vec_id") % 50 == 0, k=5, dims=dims,
             centroids=centroids, nprobe=4).count())
+
+    if "sf1" in suites:
+        from osmnightwatch_spark.operators.dedup import minhash_lsh_pairs
+        from osmnightwatch_spark.operators.similarity import (
+            cosine_topk_brute, ivf_topk, kmeans_centroids, lsh_topk,
+            planes_for)
+
+        emb1 = spark.read.parquet(os.path.join(REPO, "data/sf1_synth/embeddings.parquet"))
+        docs1 = spark.read.parquet(os.path.join(REPO, "data/sf1_synth/documents.parquet"))
+        n1 = emb1.count()
+        d1 = len(emb1.select("embedding").head()[0])
+        c1 = kmeans_centroids(emb1, dims=d1, k_centroids=max(16, n1 // 64))
+        timed("sf1_minhash", lambda: minhash_lsh_pairs(
+            docs1, "doc_id").count(), runs=4)
+        timed("sf1_cosine", lambda: cosine_topk_brute(
+            emb1, F.col("vec_id") % 50 == 0, k=5).count(), runs=4)
+        timed("sf1_ann_lsh", lambda: lsh_topk(
+            emb1, F.col("vec_id") % 50 == 0, k=5, dims=d1,
+            planes=planes_for(n1, 64), tables=2,
+            max_bucket=50 * 64).count(), runs=4)
+        timed("sf1_ann_ivf", lambda: ivf_topk(
+            emb1, F.col("vec_id") % 50 == 0, k=5, dims=d1,
+            centroids=c1, nprobe=4).count(), runs=4)
 
     print(json.dumps({"mins": {k: min(v) for k, v in out.items()},
                       "raw": out}))
