@@ -167,7 +167,10 @@ class PreparedPolygons:
         if cache is None:
             cache = {}
             object.__setattr__(self, "_cov_df_cache", cache)
-        key = id(spark)
+        # applicationId in the key: build() memoization makes prepared
+        # sets outlive sessions, and a recycled id() alone could alias
+        # a dead session's DataFrame
+        key = (id(spark), spark.sparkContext.applicationId)
         if key not in cache:
             schema = T.StructType([
                 T.StructField("polygon_id", T.LongType(), False),
@@ -187,7 +190,7 @@ class PreparedPolygons:
         if cache is None:
             cache = {}
             object.__setattr__(self, "_refine_cache", cache)
-        key = id(spark)
+        key = (id(spark), spark.sparkContext.applicationId)
         if key not in cache:
             cache[key] = _refine_udf(spark, self.edges)
         return cache[key]
